@@ -1,0 +1,117 @@
+"""Build device TransformerParams from a .lmrs file or dense weights.
+
+Layer tensors are stacked onto a leading (n_layers,) axis so the forward pass
+can `lax.scan` over them; quantized tensors become QTensor pytrees whose q/s
+arrays go to HBM as-is (int8/packed-int4 + f32 scales — same bytes as disk).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmrs_tpu.config import ModelConfig, ModelType
+from lmrs_tpu.io.lmrs import LmrsFile
+from lmrs_tpu.models.transformer import LayerWeights, TransformerParams
+from lmrs_tpu.ops.rope import rope_tables
+from lmrs_tpu.quant import QTensor, QuantType, quantize_q40_np, quantize_q80_np
+
+
+def _stack(arrs):
+    return np.stack(arrs, axis=0)
+
+
+def _qtensor(cfg: ModelConfig, q: np.ndarray, s: Optional[np.ndarray],
+             out_f: int, in_f: int, sharding=None) -> QTensor:
+    put = (lambda a: jax.device_put(a, sharding)) if sharding else jnp.asarray
+    if cfg.quant == QuantType.NONE:
+        return QTensor(put(np.ascontiguousarray(q, np.float32)), None,
+                       QuantType.NONE, cfg.group_size, out_f, in_f)
+    return QTensor(put(np.ascontiguousarray(q)),
+                   put(np.ascontiguousarray(s, np.float32)),
+                   cfg.quant, cfg.group_size, out_f, in_f)
+
+
+def _quantize_dense(cfg: ModelConfig, w: np.ndarray):
+    """Export-side quantization of a dense (out, in) float matrix."""
+    if cfg.quant == QuantType.NONE:
+        return w.astype(np.float32), None
+    o, i = w.shape
+    if cfg.quant == QuantType.Q8_0:
+        q, s, _ = quantize_q80_np(w, cfg.group_size)
+        return q.reshape(o, i), s.reshape(o, i // cfg.group_size)
+    q, s, _ = quantize_q40_np(w, cfg.group_size)
+    return q.reshape(o, i // 2), s.reshape(o, i // cfg.group_size)
+
+
+def params_from_weights(cfg: ModelConfig, weights: Dict[str, np.ndarray],
+                        shardings=None) -> TransformerParams:
+    """From dense float weights keyed by the .lmrs layout names."""
+    qw: Dict[str, tuple] = {}
+    for name, w in weights.items():
+        base = name.split("@")[0]
+        if base in ("embed", "wq", "wk", "wv", "wo", "w1", "w2", "w3",
+                    "lm_head"):
+            qw[name] = _quantize_dense(cfg, w)
+        else:
+            qw[name] = (w.astype(np.float32), None)
+    return _assemble(cfg, qw, shardings)
+
+
+def params_from_lmrs(f: LmrsFile, shardings=None) -> TransformerParams:
+    """From a parsed .lmrs file's zero-copy tensor views."""
+    return _assemble(f.cfg, f.tensors, shardings)
+
+
+def _assemble(cfg: ModelConfig, t: Dict[str, tuple],
+              shardings=None) -> TransformerParams:
+    sh = shardings or {}
+    L, D, H = cfg.n_layers, cfg.dim, cfg.hidden_dim
+    A, KV, V = cfg.att_dim, cfg.kv_dim, cfg.vocab_size
+
+    def stacked_q(name, out_f, in_f):
+        qs = _stack([t[f"{name}@{l}"][0] for l in range(L)])
+        ss = None
+        if cfg.quant != QuantType.NONE:
+            ss = _stack([t[f"{name}@{l}"][1] for l in range(L)])
+        return _qtensor(cfg, qs, ss, out_f, in_f, sh.get(name))
+
+    def stacked_f(name):
+        arr = _stack([np.asarray(t[f"{name}@{l}"][0], np.float32)
+                      for l in range(L)])
+        return jax.device_put(arr, sh[name]) if name in sh else jnp.asarray(arr)
+
+    gemma = cfg.model_type == ModelType.GEMMA
+    layers = LayerWeights(
+        att_norm=stacked_f("att_norm"),
+        wq=stacked_q("wq", A, D),
+        wk=stacked_q("wk", KV, D),
+        wv=stacked_q("wv", KV, D),
+        wo=stacked_q("wo", D, A),
+        post_att_norm=stacked_f("post_att_norm"),
+        pre_ffn_norm=stacked_f("pre_ffn_norm") if gemma else None,
+        w1=stacked_q("w1", H, D),
+        w2=stacked_q("w2", D, H),
+        w3=stacked_q("w3", H, D),
+        post_ffn_norm=stacked_f("post_ffn_norm") if gemma else None,
+    )
+
+    embed = _qtensor(cfg, t["embed"][0], t["embed"][1], V, D,
+                     sh.get("embed"))
+    lm_head = None
+    if cfg.model_type == ModelType.PHI:
+        lm_head = _qtensor(cfg, t["lm_head"][0], t["lm_head"][1], V, D,
+                           sh.get("lm_head"))
+
+    cos, sin = rope_tables(cfg)
+    return TransformerParams(
+        embed=embed,
+        layers=layers,
+        final_norm=jnp.asarray(np.asarray(t["final_norm"][0], np.float32)),
+        lm_head=lm_head,
+        rope_cos=jnp.asarray(cos),
+        rope_sin=jnp.asarray(sin),
+    )

@@ -1,0 +1,260 @@
+"""Decoder-only transformer forward pass (Gemma-2 / Llama-3.2 / Phi-3.5).
+
+TPU-first re-design of the reference's per-token, per-layer CPU loop
+(reference: src/transformer.rs:316-684):
+
+* One jit-compiled pure function handles both decode (T=1) and batched
+  prefill (T=chunk) — the reference prefills multimodal embeddings through
+  the same `forward_layer(sl>1)` path (src/transformer.rs:672-684); here
+  *every* prompt is prefilled in chunks.
+* Layers run under `lax.scan` over stacked per-layer weights, so the program
+  compiles one layer body regardless of depth.
+* The KV cache is a preallocated on-device array pair indexed by `pos` with
+  `dynamic_update_slice`; buffers are donated by the engine so updates are
+  in-place in HBM.  Attention reads a static prefix of the cache (the
+  engine's "bucket"), keeping shapes static under jit while bounding HBM
+  traffic for short contexts.
+
+Family deltas (reference: §3.2 of SURVEY.md) are driven by ModelConfig:
+Gemma-2 unit-offset rmsnorms + extra pre/post-FFN norms + softcaps + sliding
+window + sqrt(dim) embedding scale + GeGLU; Llama-3 RoPE rescale + SwiGLU;
+Phi-3 longrope + separate lm_head.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lmrs_tpu.config import ModelConfig, ModelType
+from lmrs_tpu.ops.activations import gelu_tanh, silu
+from lmrs_tpu.ops.attention import attention
+from lmrs_tpu.ops.matmul import qmatmul
+from lmrs_tpu.ops.norms import rmsnorm
+from lmrs_tpu.ops.rope import apply_rope
+from lmrs_tpu.quant import QTensor, QuantType, dequantize
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("att_norm", "wq", "wk", "wv", "wo", "post_att_norm",
+                 "pre_ffn_norm", "w1", "w2", "w3", "post_ffn_norm"),
+    meta_fields=(),
+)
+@dataclasses.dataclass
+class LayerWeights:
+    """Weights of one (or, stacked, all) decoder layer(s).
+
+    Tensor order matches the .lmrs layout (reference: export.py:87-125).
+    pre_ffn_norm / post_ffn_norm are Gemma-only (None otherwise).
+    """
+
+    att_norm: jax.Array                 # (D,)
+    wq: QTensor                         # (att_dim, D)
+    wk: QTensor                         # (kv_dim, D)
+    wv: QTensor                         # (kv_dim, D)
+    wo: QTensor                         # (D, att_dim)
+    post_att_norm: jax.Array            # (D,)
+    pre_ffn_norm: Optional[jax.Array]   # (D,) Gemma only
+    w1: QTensor                         # (H, D) gate
+    w2: QTensor                         # (D, H) down
+    w3: QTensor                         # (H, D) up
+    post_ffn_norm: Optional[jax.Array]  # (D,) Gemma only
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("embed", "layers", "final_norm", "lm_head",
+                 "rope_cos", "rope_sin"),
+    meta_fields=(),
+)
+@dataclasses.dataclass
+class TransformerParams:
+    embed: QTensor                      # (V, D); also the tied classifier
+    layers: LayerWeights                # stacked with leading (L,) axis
+    final_norm: jax.Array               # (D,)
+    lm_head: Optional[QTensor]          # (V, D) Phi only
+    rope_cos: jax.Array                 # (S, head_dim//2) f32
+    rope_sin: jax.Array                 # (S, head_dim//2) f32
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("k", "v"),
+    meta_fields=(),
+)
+@dataclasses.dataclass
+class KVCache:
+    k: jax.Array  # (L, S, KH, head_dim)
+    v: jax.Array  # (L, S, KH, head_dim)
+
+
+def init_kv_cache(cfg: ModelConfig, dtype=jnp.float32, seq_len: Optional[int] = None,
+                  sharding=None) -> KVCache:
+    """Preallocate the cache (reference keeps f32 host buffers,
+    src/transformer.rs:227-228; on TPU bfloat16 halves HBM traffic and is the
+    default in the engine)."""
+    s = seq_len or cfg.seq_len
+    shape = (cfg.n_layers, s, cfg.n_kv_heads, cfg.head_dim)
+    z = jnp.zeros(shape, dtype)
+    if sharding is not None:
+        z = jax.device_put(z, sharding)
+    return KVCache(k=z, v=jnp.copy(z) if sharding is None else jax.device_put(jnp.zeros(shape, dtype), sharding))
+
+
+def embed_tokens(params: TransformerParams, cfg: ModelConfig,
+                 tokens: jax.Array) -> jax.Array:
+    """Gather (+dequantize) embedding rows; (T,) int32 → (T, D) float32.
+
+    The reference eagerly dequantizes the whole table to f32 at load
+    (src/transformer.rs:241-245); we keep it quantized in HBM and dequantize
+    the gathered rows — bit-identical values, 4x less HBM.
+    Gemma scales embeddings by sqrt(dim) (src/transformer.rs:326-332).
+    """
+    emb = params.embed
+    if emb.qtype == QuantType.NONE:
+        x = emb.q[tokens].astype(jnp.float32)
+    else:
+        qrows = emb.q[tokens]
+        srows = emb.s[tokens]
+        if emb.qtype == QuantType.Q4_0:
+            from lmrs_tpu.quant import unpack_q4
+            vals = unpack_q4(qrows).astype(jnp.float32)
+        else:
+            vals = qrows.astype(jnp.float32)
+        gs = emb.group_size
+        g = vals.reshape(*vals.shape[:-1], vals.shape[-1] // gs, gs)
+        x = (g * srows[..., None]).reshape(tokens.shape + (cfg.dim,))
+    if cfg.embed_scale_by_sqrt_dim:
+        x = x * jnp.float32(math.sqrt(cfg.dim))
+    return x
+
+
+def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
+           k_cache: jax.Array, v_cache: jax.Array,
+           cos: jax.Array, sin: jax.Array, pos: jax.Array,
+           attn_len: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One decoder layer over T tokens.  Returns (x, k_cache, v_cache).
+
+    Parity with reference src/transformer.rs:388-657.
+    """
+    t_q = x.shape[0]
+    is_gemma = cfg.model_type == ModelType.GEMMA
+
+    xb = rmsnorm(x, lw.att_norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+
+    q = qmatmul(xb, lw.wq).reshape(t_q, cfg.n_heads, cfg.head_dim)
+    k = qmatmul(xb, lw.wk).reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
+    v = qmatmul(xb, lw.wv).reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    # The cache stores rotated keys, like the reference (which applies RoPE
+    # in-place on cache slices, src/transformer.rs:443,486-491).
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k.astype(k_cache.dtype), (pos, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v.astype(v_cache.dtype), (pos, 0, 0))
+
+    att = attention(
+        q,
+        k_cache[:attn_len],
+        v_cache[:attn_len],
+        pos,
+        scale=cfg.attn_scale,
+        softcap=cfg.attn_logit_softcap,
+        window=cfg.sliding_window,
+    )
+
+    o = qmatmul(att.reshape(t_q, cfg.att_dim), lw.wo)
+
+    if is_gemma:
+        # post-attention norm BEFORE the residual add, then pre-FFN norm
+        # (reference: src/transformer.rs:563-572)
+        h = rmsnorm(o, lw.post_att_norm, cfg.rms_norm_eps, True)
+        x = x + h
+        xb2 = rmsnorm(x, lw.pre_ffn_norm, cfg.rms_norm_eps, True)
+    else:
+        x = x + o
+        xb2 = rmsnorm(x, lw.post_att_norm, cfg.rms_norm_eps, False)
+
+    gate = qmatmul(xb2, lw.w1)
+    up = qmatmul(xb2, lw.w3)
+    act = (gelu_tanh(gate) if is_gemma else silu(gate)) * up
+    ff = qmatmul(act, lw.w2)
+
+    if is_gemma:
+        # post-FFN norm before the residual add (reference: src/transformer.rs:643-650)
+        x = x + rmsnorm(ff, lw.post_ffn_norm, cfg.rms_norm_eps, True)
+    else:
+        x = x + ff
+    return x, k_cache, v_cache
+
+
+def forward(
+    params: TransformerParams,
+    cfg: ModelConfig,
+    cache: KVCache,
+    x: jax.Array,            # (T, D) float32 input embeddings
+    pos: jax.Array,          # scalar int32 — absolute position of x[0]
+    attn_len: int,           # static: cache prefix length to attend over
+    logit_idx: Optional[jax.Array] = None,  # scalar int32 row of x to get logits for
+) -> Tuple[Optional[jax.Array], KVCache]:
+    """Run all layers; optionally project one row to logits.
+
+    Returns (logits (V,) float32 or None, updated cache).  With
+    logit_idx=None this is the reference's `fill_kv_cache`
+    (src/transformer.rs:672-684); with T=1, logit_idx=0 it is `forward`
+    (src/transformer.rs:316-384).
+    """
+    t_q = x.shape[0]
+    cos = jax.lax.dynamic_slice(params.rope_cos, (pos, 0),
+                                (t_q, params.rope_cos.shape[1]))
+    sin = jax.lax.dynamic_slice(params.rope_sin, (pos, 0),
+                                (t_q, params.rope_sin.shape[1]))
+
+    def body(h, xs):
+        lw, k_l, v_l = xs
+        h, k_l, v_l = _layer(cfg, h, lw, k_l, v_l, cos, sin, pos, attn_len)
+        return h, (k_l, v_l)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (params.layers, cache.k, cache.v))
+    new_cache = KVCache(k=k_new, v=v_new)
+
+    if logit_idx is None:
+        return None, new_cache
+
+    xl = jax.lax.dynamic_slice(x, (logit_idx, 0), (1, cfg.dim))
+    xl = rmsnorm(xl, params.final_norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+
+    cls = params.embed if cfg.tied_lm_head else params.lm_head
+    logits = qmatmul(xl, cls)[0]
+
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        if cfg.parity_gemma_softcap_bug:
+            # Replicate reference src/transformer.rs:375-381, which softcaps
+            # only logits[0:dim] (loop bound is `dim`, not vocab_size).
+            head = jnp.tanh(logits[: cfg.dim] / cap) * cap
+            logits = jnp.concatenate([head, logits[cfg.dim:]])
+        else:
+            logits = jnp.tanh(logits / cap) * cap
+
+    return logits, new_cache
+
+
+def dequantize_params(params: TransformerParams) -> TransformerParams:
+    """Debug helper: fully dequantized f32 copy of all weights."""
+    def deq(qt):
+        if isinstance(qt, QTensor) and qt.qtype != QuantType.NONE:
+            return QTensor(dequantize(qt), None, QuantType.NONE,
+                           qt.group_size, qt.out_features, qt.in_features)
+        return qt
+    return jax.tree_util.tree_map(
+        deq, params, is_leaf=lambda n: isinstance(n, QTensor))

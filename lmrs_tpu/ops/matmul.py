@@ -1,0 +1,81 @@
+"""Quantized matmul: the framework's hot op.
+
+The reference's CPU kernels (reference: src/functional.rs:142-280) stream
+int8/int4 weights row-by-row with SIMD dots per quantization group.  The
+TPU-native formulation keeps the exact same arithmetic — integer dot per
+group, then float32 (int_dot * w_scale * x_scale) accumulated over groups —
+but expresses it as one batched `dot_general` over the group axis so XLA maps
+it onto the MXU's int8 path:
+
+    y[b,o] = sum_g  float( sum_k  w_q[o,g,k] * x_q[b,g,k] ) * w_s[o,g] * x_s[b,g]
+
+Activations are re-quantized per call with the reference's runtime scheme
+(see lmrs_tpu.quant), which keeps greedy-decode parity with lm.rs at the same
+bit width and group size.
+
+A fused Pallas kernel (lmrs_tpu.kernels.dequant_matmul) implements the same
+contraction with packed-int4 unpacking in VMEM; this module is the XLA
+reference path and the fallback on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lmrs_tpu.quant import (
+    QTensor,
+    QuantType,
+    quantize_q4_act,
+    quantize_q8_act,
+    unpack_q4,
+)
+
+
+def _group_dot(xq: jax.Array, xs: jax.Array, wq: jax.Array, ws: jax.Array,
+               group_size: int) -> jax.Array:
+    """Shared Q8/Q4 contraction.
+
+    xq int8 (B, n), xs f32 (B, G); wq int8 (O, n), ws f32 (O, G) → f32 (B, O).
+    """
+    b, n = xq.shape
+    o = wq.shape[0]
+    g = n // group_size
+    xg = xq.reshape(b, g, group_size)
+    wg = wq.reshape(o, g, group_size)
+    # Batched over the group axis: (G, B, gs) x (G, O, gs) -> (G, B, O) int32.
+    ival = jax.lax.dot_general(
+        xg.transpose(1, 0, 2),
+        wg.transpose(1, 0, 2),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+    scaled = ival.astype(jnp.float32) * xs.T[:, :, None] * ws.T[:, None, :]
+    return jnp.sum(scaled, axis=0)
+
+
+def qmatmul(x: jax.Array, w: QTensor) -> jax.Array:
+    """y = x @ W^T for a quantized weight matrix W of logical shape (out, in).
+
+    `x` is float (..., in); returns float32 (..., out).  For Q8_0/Q4_0 the
+    activations are first re-quantized group-wise exactly as the reference
+    does before every quantized matmul (reference: src/transformer.rs:424-437).
+    """
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    assert n == w.in_features, (x.shape, w.logical_shape)
+    x2 = x.reshape(-1, n)
+
+    if w.qtype == QuantType.NONE:
+        y = jnp.dot(x2.astype(jnp.float32), w.q.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)
+    elif w.qtype == QuantType.Q8_0:
+        xq, xs = quantize_q8_act(x2, w.group_size)
+        y = _group_dot(xq, xs, w.q, w.s, w.group_size)
+    elif w.qtype == QuantType.Q4_0:
+        xq, xs = quantize_q4_act(x2, w.group_size)
+        wq = unpack_q4(w.q)
+        y = _group_dot(xq, xs, wq, w.s, w.group_size)
+    else:
+        raise ValueError(w.qtype)
+    return y.reshape(*lead, w.out_features)

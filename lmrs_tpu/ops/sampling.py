@@ -1,0 +1,60 @@
+"""Token sampling: greedy, multinomial, and nucleus (top-p).
+
+Functional equivalent of the reference sampler (reference: src/sampler.rs:
+29-129) with one deliberate fix: the reference reuses the same xorshift draw
+for every token because it never advances its RNG state
+(reference: src/sampler.rs:119 — `random_f32(self.seed)` with `seed` never
+written back).  Here sampling threads a JAX PRNG key properly; greedy
+decoding (temperature=0) is unaffected and remains the parity path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_argmax(logits: jnp.ndarray) -> jnp.ndarray:
+    """Greedy: first index of the max logit (reference: src/sampler.rs:29-41
+    keeps the earliest index on ties, which jnp.argmax also does)."""
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sample_multinomial(logits: jnp.ndarray, temperature: float,
+                       key: jax.Array) -> jnp.ndarray:
+    """Softmax(logits/T) then categorical draw (reference: src/sampler.rs:43-55)."""
+    return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
+
+
+def sample_topp(logits: jnp.ndarray, temperature: float, top_p: float,
+                key: jax.Array) -> jnp.ndarray:
+    """Nucleus sampling (reference: src/sampler.rs:57-106).
+
+    Sample from the smallest probability-sorted prefix whose cumulative mass
+    exceeds top_p, renormalized — the same semantics as the reference's
+    sorted-CDF walk (its (1-p)/(n-1) pre-filter is only a pruning
+    optimization, not a semantic difference).
+    """
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    order = jnp.argsort(probs, axis=-1)[..., ::-1]
+    csum = jnp.cumsum(sorted_probs, axis=-1)
+    # keep everything up to and including the first element whose cumsum > p
+    keep = jnp.roll(csum, 1, axis=-1) < top_p
+    keep = keep.at[..., 0].set(True)
+    filtered = jnp.where(keep, sorted_probs, 0.0)
+    idx = jax.random.categorical(key, jnp.log(filtered + 1e-30), axis=-1)
+    return jnp.take_along_axis(order, idx[..., None], axis=-1)[..., 0].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("temperature", "top_p"))
+def sample(logits: jnp.ndarray, key: jax.Array, temperature: float = 0.0,
+           top_p: float = 0.9) -> jnp.ndarray:
+    """Dispatch mirroring reference src/sampler.rs:109-129."""
+    if temperature == 0.0:
+        return sample_argmax(logits)
+    if top_p <= 0.0 or top_p >= 1.0:
+        return sample_multinomial(logits, temperature, key)
+    return sample_topp(logits, temperature, top_p, key)

@@ -1,0 +1,210 @@
+"""Inference engine: jitted prefill/decode steps + generation loop.
+
+Runtime equivalent of the reference's REPL decode loop (reference:
+src/bin/chat.rs:148-227) re-built around XLA's compilation model:
+
+* Static shapes via buckets.  The decode step is specialized per
+  `attn_len` bucket (the cache prefix attention reads), so early tokens
+  don't pay full-sequence HBM traffic; prompts prefill in fixed-size chunks
+  (the reference feeds text prompts one token at a time — chat.rs:187-198;
+  batching them onto the MXU is the first TPU win, the same trick its
+  multimodal path uses, src/transformer.rs:672-684).
+* KV cache buffers are donated through every step, so updates are in-place
+  in HBM.
+* `pos` and token ids are dynamic scalars — no recompilation across steps.
+
+Metrics (tok/s, TTFT) mirror chat.rs:200-226's --show-metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmrs_tpu.config import ModelConfig
+from lmrs_tpu.models.transformer import (
+    KVCache,
+    TransformerParams,
+    embed_tokens,
+    forward,
+    init_kv_cache,
+)
+from lmrs_tpu.ops.sampling import sample_argmax, sample_topp, sample_multinomial
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    """Sampling knobs (reference: src/bin/chat.rs:22-40 CLI defaults)."""
+
+    temperature: float = 0.7
+    top_p: float = 0.9
+    seed: Optional[int] = None
+    max_new_tokens: int = 512
+
+
+@dataclasses.dataclass
+class StepMetrics:
+    prefill_tokens: int = 0
+    prefill_seconds: float = 0.0
+    decode_tokens: int = 0
+    decode_seconds: float = 0.0
+    ttft_seconds: Optional[float] = None
+
+    @property
+    def tokens_per_second(self) -> float:
+        return self.decode_tokens / self.decode_seconds if self.decode_seconds else 0.0
+
+
+def _next_pow2(n: int, lo: int, hi: int) -> int:
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return min(b, hi)
+
+
+class Engine:
+    """Single-stream inference over one model instance.
+
+    The KV cache lives in the engine and is threaded (donated) through the
+    jitted steps; `pos` advances like the reference's chat loop
+    (chat.rs:67,216 — it only ever grows within a session).
+    """
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: TransformerParams,
+        cache_dtype=jnp.bfloat16,
+        min_attn_bucket: int = 256,
+        prefill_chunk: int = 64,
+        cache_sharding=None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.cache_dtype = cache_dtype
+        self.min_attn_bucket = min(min_attn_bucket, cfg.seq_len)
+        self.prefill_chunk = prefill_chunk
+        self.cache = init_kv_cache(cfg, cache_dtype, sharding=cache_sharding)
+        self.pos = 0
+        self.metrics = StepMetrics()
+
+        self._embed = jax.jit(partial(embed_tokens, cfg=self.cfg))
+
+        @partial(jax.jit, static_argnames=("attn_len", "want_logits"),
+                 donate_argnames=("cache",))
+        def _step(params, cache, x, pos, logit_idx, attn_len, want_logits):
+            return forward(params, self.cfg, cache, x, pos, attn_len,
+                           logit_idx if want_logits else None)
+
+        self._step = _step
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """New conversation: zero `pos` (cache contents become dead)."""
+        self.pos = 0
+        self.metrics = StepMetrics()
+
+    def _attn_bucket(self, needed: int) -> int:
+        return _next_pow2(needed, self.min_attn_bucket, self.cfg.seq_len)
+
+    # ------------------------------------------------------------------
+    def prefill(self, tokens: Sequence[int],
+                want_logits: bool = True) -> Optional[jax.Array]:
+        """Run prompt tokens through the model in chunks; returns logits of
+        the last token (or None).  Equivalent to the reference's
+        token-by-token prompt feed (chat.rs:187-198) and its
+        `fill_kv_cache` (transformer.rs:672-684)."""
+        x = self._embed(self.params,
+                        tokens=jnp.asarray(np.asarray(tokens, np.int32)))
+        return self.prefill_embeds(x, want_logits=want_logits)
+
+    def prefill_embeds(self, x: jax.Array,
+                       want_logits: bool = True) -> Optional[jax.Array]:
+        """Prefill from precomputed embeddings (multimodal path;
+        reference: chat.rs:110-119)."""
+        t0 = time.perf_counter()
+        n = x.shape[0]
+        if self.pos + n > self.cfg.seq_len:
+            raise ValueError(
+                f"context overflow: pos={self.pos} + prompt {n} > seq_len"
+                f" {self.cfg.seq_len}")
+        logits = None
+        off = 0
+        while off < n:
+            chunk = min(self.prefill_chunk, _next_pow2(n - off, 8, self.prefill_chunk))
+            xt = x[off:off + chunk]
+            real = xt.shape[0]
+            if real < chunk:
+                xt = jnp.pad(xt, ((0, chunk - real), (0, 0)))
+            attn_len = self._attn_bucket(self.pos + chunk)
+            last = off + real >= n
+            logits, self.cache = self._step(
+                self.params, self.cache, xt, jnp.int32(self.pos),
+                jnp.int32(real - 1), attn_len=attn_len,
+                want_logits=want_logits and last)
+            self.pos += real
+            off += real
+        if logits is not None:
+            logits.block_until_ready()
+        self.metrics.prefill_tokens += n
+        self.metrics.prefill_seconds += time.perf_counter() - t0
+        return logits
+
+    def decode_step(self, token: int) -> jax.Array:
+        """One autoregressive step; returns logits (V,).
+        (reference: transformer.rs:316-384 via chat.rs:214)."""
+        x = self._embed(self.params, tokens=jnp.asarray([token], jnp.int32))
+        attn_len = self._attn_bucket(self.pos + 1)
+        logits, self.cache = self._step(
+            self.params, self.cache, x, jnp.int32(self.pos), jnp.int32(0),
+            attn_len=attn_len, want_logits=True)
+        self.pos += 1
+        return logits
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        prompt_tokens: Sequence[int],
+        gen: GenerationConfig = GenerationConfig(),
+        stop_tokens: Iterable[int] = (),
+        on_token: Optional[Callable[[int], None]] = None,
+    ) -> List[int]:
+        """Prefill + sample loop (reference: chat.rs:148-227)."""
+        stop = set(int(t) for t in stop_tokens)
+        seed = gen.seed if gen.seed is not None else time.time_ns() % (1 << 31)
+        key = jax.random.PRNGKey(seed)
+
+        t_start = time.perf_counter()
+        logits = self.prefill(prompt_tokens)
+        out: List[int] = []
+        t_decode0 = time.perf_counter()
+        first = True
+        for _ in range(gen.max_new_tokens):
+            key, sub = jax.random.split(key)
+            tok = int(self._sample(logits, gen, sub))
+            if first:
+                self.metrics.ttft_seconds = time.perf_counter() - t_start
+                first = False
+            out.append(tok)
+            if on_token is not None:
+                on_token(tok)
+            if tok in stop or self.pos + 1 >= self.cfg.seq_len:
+                break
+            logits = self.decode_step(tok)
+        self.metrics.decode_tokens += len(out)
+        self.metrics.decode_seconds += time.perf_counter() - t_decode0
+        return out
+
+    def _sample(self, logits: jax.Array, gen: GenerationConfig,
+                key: jax.Array) -> jax.Array:
+        if gen.temperature == 0.0:
+            return sample_argmax(logits)
+        if gen.top_p <= 0.0 or gen.top_p >= 1.0:
+            return sample_multinomial(logits, gen.temperature, key)
+        return sample_topp(logits, gen.temperature, gen.top_p, key)
