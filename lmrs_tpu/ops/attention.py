@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -47,9 +48,11 @@ def attention(
     k32 = k_cache.astype(jnp.float32)
     v32 = v_cache.astype(jnp.float32)
 
-    # (T, KH, G, S)
+    # (T, KH, G, S).  HIGHEST keeps true-f32 MXU passes — the TPU default
+    # would round f32 operands to bf16, which breaks greedy parity.
     scores = jnp.einsum("tkgd,skd->tkgs", qg, k32,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) * scale
 
     if softcap is not None:
         scores = jnp.tanh(scores / softcap) * softcap
@@ -70,5 +73,6 @@ def attention(
     att = e / jnp.sum(e, axis=-1, keepdims=True)
 
     out = jnp.einsum("tkgs,skd->tkgd", att, v32,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return out.reshape(t_q, n_heads, head_dim)

@@ -67,8 +67,10 @@ def qmatmul(x: jax.Array, w: QTensor) -> jax.Array:
     x2 = x.reshape(-1, n)
 
     if w.qtype == QuantType.NONE:
+        # HIGHEST: true-f32 passes on the MXU (TPU default rounds to bf16)
         y = jnp.dot(x2.astype(jnp.float32), w.q.astype(jnp.float32).T,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     elif w.qtype == QuantType.Q8_0:
         xq, xs = quantize_q8_act(x2, w.group_size)
         y = _group_dot(xq, xs, w.q, w.s, w.group_size)
