@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark: single-stream decode throughput on the headline config.
+
+Default: Gemma-2-9B-shaped Q4_0 (the BASELINE.md north-star metric — the
+reference does 7 tok/s on a 16-core Epyc).  Weights are synthetic (zero-
+egress environment) but byte-identical in layout/size to a converted
+checkpoint, streamed through the real .lmrs loader, so the measured
+bandwidth and compute path match real-model serving exactly.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N/7}
+
+Env knobs: LMRS_BENCH_CONFIG (gemma2-9b|gemma2-2b|llama3.2-1b|...),
+LMRS_BENCH_QUANT (q4_0|q8_0), LMRS_BENCH_TOKENS, LMRS_BENCH_PROMPT,
+LMRS_BENCH_CACHE_DIR.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINES = {  # reference tok/s on 16-core Epyc (BASELINE.md)
+    ("gemma2-2b", "q4_0"): 20.0,
+    ("gemma2-2b", "q8_0"): 24.0,
+    ("gemma2-9b", "q4_0"): 7.0,
+    ("gemma2-9b", "q8_0"): 8.0,
+    ("llama3.2-1b", "none"): 21.0,
+    ("llama3.2-1b", "q8_0"): 50.0,
+    ("llama3.2-3b", "q4_0"): 17.0,
+    ("llama3.2-3b", "q8_0"): 19.0,
+    ("phi3.5-mini", "q8_0"): 18.0,
+}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lmrs_tpu.config import PRESETS
+    from lmrs_tpu.io.lmrs import read_lmrs
+    from lmrs_tpu.io.params import params_from_lmrs
+    from lmrs_tpu.io.synthetic import write_synthetic_lmrs
+    from lmrs_tpu.quant import QuantType
+    from lmrs_tpu.runtime.engine import Engine, GenerationConfig
+
+    config_name = os.environ.get("LMRS_BENCH_CONFIG", "gemma2-9b")
+    quant_name = os.environ.get("LMRS_BENCH_QUANT", "q4_0").lower()
+    n_tokens = int(os.environ.get("LMRS_BENCH_TOKENS", "192"))
+    n_prompt = int(os.environ.get("LMRS_BENCH_PROMPT", "64"))
+    cache_dir = os.environ.get("LMRS_BENCH_CACHE_DIR", "/tmp/lmrs_tpu_bench")
+
+    quant = {"q4_0": QuantType.Q4_0, "q8_0": QuantType.Q8_0,
+             "none": QuantType.NONE}[quant_name]
+    impl = os.environ.get("LMRS_BENCH_IMPL", "fast")
+    if quant == QuantType.NONE:
+        impl = "exact"
+    cfg = PRESETS[config_name](quant=quant, matmul_impl=impl)
+
+    os.makedirs(cache_dir, exist_ok=True)
+    model_path = os.path.join(cache_dir, f"{config_name}-{quant_name}.lmrs")
+    if not os.path.exists(model_path):
+        log(f"generating synthetic {config_name} {quant_name} → {model_path}")
+        t0 = time.time()
+        write_synthetic_lmrs(model_path + ".tmp", cfg, seed=0, log=log)
+        os.replace(model_path + ".tmp", model_path)
+        log(f"generated in {time.time() - t0:.0f}s "
+            f"({os.path.getsize(model_path) / 1e9:.2f} GB)")
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    f = read_lmrs(model_path)
+    params = params_from_lmrs(f)
+    jax.block_until_ready(jax.tree_util.tree_leaves(params))
+    log(f"load+transfer: {time.time() - t0:.1f}s")
+
+    decode_chunk = int(os.environ.get("LMRS_BENCH_CHUNK", "32"))
+    eng = Engine(f.cfg, params, cache_dtype=jnp.bfloat16,
+                 decode_chunk=decode_chunk)
+    gen = GenerationConfig(temperature=0.0, max_new_tokens=n_tokens)
+    prompt = list(np.random.default_rng(0).integers(
+        3, cfg.vocab_size - 1, size=n_prompt))
+
+    # warmup: compiles prefill + decode-chunk programs
+    t0 = time.time()
+    warm = eng.generate(prompt, GenerationConfig(temperature=0.0,
+                                                 max_new_tokens=decode_chunk + 1))
+    log(f"warmup (compile): {time.time() - t0:.1f}s, {len(warm)} tokens")
+
+    # timed run
+    eng.reset()
+    eng.metrics.ttft_seconds = None
+    out = eng.generate(prompt, gen)
+    m = eng.metrics
+    toks = m.tokens_per_second
+    ttft = m.ttft_seconds or 0.0
+    log(f"decoded {m.decode_tokens} tokens in {m.decode_seconds:.2f}s; "
+        f"prefill {m.prefill_tokens} in {m.prefill_seconds:.3f}s "
+        f"(TTFT {ttft * 1000:.0f} ms)")
+
+    baseline = BASELINES.get((config_name, quant_name))
+    result = {
+        "metric": f"{config_name} {quant_name.upper()} single-stream decode"
+                  " tok/s/chip",
+        "value": round(toks, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(toks / baseline, 2) if baseline else None,
+        "extra": {
+            "ttft_ms_p50": round(ttft * 1000, 1),
+            "prompt_tokens": n_prompt,
+            "new_tokens": m.decode_tokens,
+            "decode_chunk": decode_chunk,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

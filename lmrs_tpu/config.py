@@ -98,6 +98,10 @@ class ModelConfig:
     # Phi has a separate lm_head; Gemma/Llama tie it to the embedding table
     # (reference: src/transformer.rs:345-373)
     tied_lm_head: bool = True
+    # Quantized matmul implementation: "exact" = bit-parity integer path
+    # (activation re-quantization like the reference), "fast" = fused Pallas
+    # dequant-matmul kernels (the throughput path).
+    matmul_impl: str = "exact"
     # Replicate the reference bug that applies the Gemma final softcap only to
     # the first `dim` logits (reference: src/transformer.rs:375-381). Off by
     # default: we apply the softcap to ALL logits, which is what Gemma-2

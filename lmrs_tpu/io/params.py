@@ -66,6 +66,73 @@ def params_from_lmrs(f: LmrsFile, shardings=None) -> TransformerParams:
     return _assemble(f.cfg, f.tensors, shardings)
 
 
+def vision_params_from_lmrs(f: LmrsFile):
+    """Build (VisionConfig, VisionParams, ProcessorConfig, ProcessorParams)
+    from a multimodal .lmrs file's tensor views."""
+    from lmrs_tpu.models.phi3v import ProcessorParams
+    from lmrs_tpu.models.vision import VisionLayerWeights, VisionParams
+
+    vc, pc = f.cfg_vision_processor()
+    t = f.tensors
+    L, D, H = vc.n_layers, vc.dim, vc.hidden_dim
+
+    def vq(name, out_f, in_f):
+        qs = _stack([t[f"v.{name}@{l}"][0] for l in range(L)])
+        ss = None
+        if vc.quant != QuantType.NONE:
+            ss = _stack([t[f"v.{name}@{l}"][1] for l in range(L)])
+        qt = QTensor(jnp.asarray(np.ascontiguousarray(qs)),
+                     None if ss is None else jnp.asarray(
+                         np.ascontiguousarray(ss, np.float32)),
+                     vc.quant, vc.group_size, out_f, in_f)
+        return qt
+
+    def vf(name):
+        return jnp.asarray(_stack([np.asarray(t[f"v.{name}@{l}"][0],
+                                              np.float32)
+                                   for l in range(L)]))
+
+    layers = VisionLayerWeights(
+        ln1_w=vf("ln1_w"), ln1_b=vf("ln1_b"),
+        ln2_w=vf("ln2_w"), ln2_b=vf("ln2_b"),
+        wq=vq("wq", D, D), wq_b=vf("wq_b"),
+        wk=vq("wk", D, D), wk_b=vf("wk_b"),
+        wv=vq("wv", D, D), wv_b=vf("wv_b"),
+        wo=vq("wo", D, D), wo_b=vf("wo_b"),
+        w1=vq("w1", H, D), w1_b=vf("w1_b"),
+        w2=vq("w2", D, H), w2_b=vf("w2_b"),
+    )
+    vparams = VisionParams(
+        class_embedding=jnp.asarray(np.asarray(t["v.class_embedding"][0],
+                                               np.float32)),
+        patch_embedding=jnp.asarray(np.asarray(t["v.patch_embedding"][0],
+                                               np.float32)),
+        position_embedding=jnp.asarray(np.asarray(
+            t["v.position_embedding"][0], np.float32)),
+        layers=layers,
+        pre_ln_w=jnp.asarray(np.asarray(t["v.pre_ln_w"][0], np.float32)),
+        pre_ln_b=jnp.asarray(np.asarray(t["v.pre_ln_b"][0], np.float32)),
+    )
+
+    def pq(name, out_f, in_f):
+        q, s = t[f"p.{name}"]
+        return QTensor(jnp.asarray(np.ascontiguousarray(q)),
+                       None if s is None else jnp.asarray(
+                           np.ascontiguousarray(s, np.float32).reshape(
+                               out_f, in_f // pc.group_size)),
+                       pc.quant, pc.group_size, out_f, in_f)
+
+    pparams = ProcessorParams(
+        glb_gn=jnp.asarray(np.asarray(t["p.glb_gn"][0], np.float32)),
+        sub_gn=jnp.asarray(np.asarray(t["p.sub_gn"][0], np.float32)),
+        proj0=pq("proj0", pc.text_dim, pc.hidden_dim),
+        proj0_b=jnp.asarray(np.asarray(t["p.proj0_b"][0], np.float32)),
+        proj1=pq("proj1", pc.text_dim, pc.text_dim),
+        proj1_b=jnp.asarray(np.asarray(t["p.proj1_b"][0], np.float32)),
+    )
+    return vc, vparams, pc, pparams
+
+
 def _assemble(cfg: ModelConfig, t: Dict[str, tuple],
               shardings=None) -> TransformerParams:
     sh = shardings or {}

@@ -40,6 +40,75 @@ def synthetic_params(cfg: ModelConfig, seed: int = 0):
     return params_from_weights(cfg, random_weights(cfg, seed))
 
 
+def tiny_vision_config(quant: QuantType):
+    """Miniature CLIP config (real CLIP-L/14-336 shapes scaled down; the 577
+    position count scales with image/patch size)."""
+    from lmrs_tpu.models.vision import VisionConfig
+
+    return VisionConfig(dim=32, hidden_dim=64, n_layers=3, n_heads=2,
+                        head_dim=16, layernorm_eps=1e-5, patch_size=14,
+                        image_size=336, quant=quant, group_size=16)
+
+
+def tiny_processor_config(quant: QuantType, text_dim: int):
+    from lmrs_tpu.models.phi3v import ProcessorConfig
+
+    return ProcessorConfig(hidden_dim=128, text_dim=text_dim, quant=quant,
+                           group_size=16)
+
+
+def random_multimodal_weights(cfg: ModelConfig, vcfg, pcfg,
+                              seed: int = 0) -> Dict[str, np.ndarray]:
+    """Text + vision + processor weights for a multimodal .lmrs file."""
+    from lmrs_tpu.io.lmrs import (_processor_tensor_layout,
+                                  _vision_tensor_layout)
+
+    rng = np.random.default_rng(seed + 1)
+    out = random_weights(cfg, seed)
+    for name, shape, _ in (_vision_tensor_layout(vcfg)
+                           + _processor_tensor_layout(pcfg)):
+        std = 0.05 if ("ln" in name or "_b" in name) else 0.02
+        out[name] = rng.normal(0.0, std, size=shape).astype(np.float32)
+    return out
+
+
+def write_synthetic_lmrs(path: str, cfg: ModelConfig, seed: int = 0,
+                         scale: float = 0.02, log=None) -> None:
+    """Stream a full-size random model straight to a .lmrs file, one tensor
+    at a time (a Gemma-2-9B's dense f32 weights are ~37 GB — never held in
+    memory at once).  Used by the benchmark harness."""
+    import struct
+
+    from lmrs_tpu.io.lmrs import (HEADER_BYTES, MAGIC, VERSION, _HEADER_FMT,
+                                  _tensor_layout)
+    from lmrs_tpu.quant import quantize_q40_np, quantize_q80_np
+
+    rng = np.random.default_rng(seed)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<II", MAGIC, VERSION))
+        f.write(struct.pack(
+            _HEADER_FMT, cfg.dim, cfg.hidden_dim, cfg.n_layers, cfg.n_heads,
+            cfg.head_dim, cfg.n_kv_heads, cfg.vocab_size, cfg.seq_len,
+            cfg.rms_norm_eps, cfg.rope_theta, int(cfg.quant),
+            int(cfg.model_type), cfg.group_size, int(cfg.multimodal)))
+        f.write(b"\0" * (HEADER_BYTES - f.tell()))
+        for name, shape, quantized in _tensor_layout(cfg):
+            if log:
+                log(f"synth {name} {shape}")
+            std = 0.05 if "norm" in name else scale
+            w = rng.normal(0.0, std, size=shape).astype(np.float32)
+            if not quantized:
+                f.write(w.tobytes())
+                continue
+            if cfg.quant == QuantType.Q8_0:
+                q, s, _ = quantize_q80_np(w, cfg.group_size)
+            else:
+                q, s, _ = quantize_q40_np(w, cfg.group_size)
+            del w
+            f.write(q.tobytes())
+            f.write(s.astype(np.float32).tobytes())
+
+
 def tiny_config(model_type: ModelType, quant: QuantType,
                 **kw) -> ModelConfig:
     """A miniature but structurally-faithful config for unit tests."""

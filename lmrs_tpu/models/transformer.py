@@ -148,9 +148,9 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
 
     xb = rmsnorm(x, lw.att_norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
 
-    q = qmatmul(xb, lw.wq).reshape(t_q, cfg.n_heads, cfg.head_dim)
-    k = qmatmul(xb, lw.wk).reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
-    v = qmatmul(xb, lw.wv).reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
+    q = qmatmul(xb, lw.wq, cfg.matmul_impl).reshape(t_q, cfg.n_heads, cfg.head_dim)
+    k = qmatmul(xb, lw.wk, cfg.matmul_impl).reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
+    v = qmatmul(xb, lw.wv, cfg.matmul_impl).reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
 
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
@@ -172,7 +172,7 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         window=cfg.sliding_window,
     )
 
-    o = qmatmul(att.reshape(t_q, cfg.att_dim), lw.wo)
+    o = qmatmul(att.reshape(t_q, cfg.att_dim), lw.wo, cfg.matmul_impl)
 
     if is_gemma:
         # post-attention norm BEFORE the residual add, then pre-FFN norm
@@ -184,10 +184,10 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         x = x + o
         xb2 = rmsnorm(x, lw.post_att_norm, cfg.rms_norm_eps, False)
 
-    gate = qmatmul(xb2, lw.w1)
-    up = qmatmul(xb2, lw.w3)
+    gate = qmatmul(xb2, lw.w1, cfg.matmul_impl)
+    up = qmatmul(xb2, lw.w3, cfg.matmul_impl)
     act = (gelu_tanh(gate) if is_gemma else silu(gate)) * up
-    ff = qmatmul(act, lw.w2)
+    ff = qmatmul(act, lw.w2, cfg.matmul_impl)
 
     if is_gemma:
         # post-FFN norm before the residual add (reference: src/transformer.rs:643-650)
@@ -234,7 +234,7 @@ def forward(
     xl = rmsnorm(xl, params.final_norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
 
     cls = params.embed if cfg.tied_lm_head else params.lm_head
-    logits = qmatmul(xl, cls)[0]
+    logits = qmatmul(xl, cls, cfg.matmul_impl)[0]
 
     if cfg.final_logit_softcap is not None:
         cap = cfg.final_logit_softcap

@@ -54,13 +54,24 @@ def _group_dot(xq: jax.Array, xs: jax.Array, wq: jax.Array, ws: jax.Array,
     return jnp.sum(scaled, axis=0)
 
 
-def qmatmul(x: jax.Array, w: QTensor) -> jax.Array:
+def qmatmul(x: jax.Array, w: QTensor, impl: str = "exact") -> jax.Array:
     """y = x @ W^T for a quantized weight matrix W of logical shape (out, in).
 
-    `x` is float (..., in); returns float32 (..., out).  For Q8_0/Q4_0 the
-    activations are first re-quantized group-wise exactly as the reference
-    does before every quantized matmul (reference: src/transformer.rs:424-437).
+    `x` is float (..., in); returns float32 (..., out).
+
+    impl="exact": activations are first re-quantized group-wise exactly as
+    the reference does before every quantized matmul (reference:
+    src/transformer.rs:424-437) and the contraction is integer-exact —
+    bit-parity with lm.rs.
+
+    impl="fast": fused Pallas dequant-matmul (W8A32/W4A32) — weights stream
+    HBM→VMEM once, packed int4 unpacks in VMEM; skips the reference's lossy
+    activation quantization.  The throughput path.
     """
+    if impl == "fast" and w.qtype != QuantType.NONE:
+        from lmrs_tpu.kernels.dequant_matmul import qmatmul_pallas
+
+        return qmatmul_pallas(x, w)
     lead = x.shape[:-1]
     n = x.shape[-1]
     assert n == w.in_features, (x.shape, w.logical_shape)

@@ -83,6 +83,7 @@ class Engine:
         cache_dtype=jnp.bfloat16,
         min_attn_bucket: int = 256,
         prefill_chunk: int = 64,
+        decode_chunk: int = 8,
         cache_sharding=None,
     ):
         self.cfg = cfg
@@ -90,6 +91,7 @@ class Engine:
         self.cache_dtype = cache_dtype
         self.min_attn_bucket = min(min_attn_bucket, cfg.seq_len)
         self.prefill_chunk = prefill_chunk
+        self.decode_chunk = decode_chunk
         self.cache = init_kv_cache(cfg, cache_dtype, sharding=cache_sharding)
         self.pos = 0
         self.metrics = StepMetrics()
@@ -103,6 +105,40 @@ class Engine:
                            logit_idx if want_logits else None)
 
         self._step = _step
+
+        @partial(jax.jit,
+                 static_argnames=("n_steps", "attn_len", "temperature",
+                                  "top_p"),
+                 donate_argnames=("cache",))
+        def _decode_chunk(params, cache, token, pos, key, n_steps, attn_len,
+                          temperature, top_p):
+            """Fused multi-token decode: embed→forward→sample, `n_steps`
+            times in one device program (lax.scan).  One host dispatch per
+            chunk instead of per token — on TPU the per-dispatch latency
+            would otherwise dominate single-stream decode."""
+            from lmrs_tpu.ops.sampling import (sample_argmax,
+                                               sample_multinomial,
+                                               sample_topp)
+
+            def step(carry, _):
+                tok, p, cache, k = carry
+                x = embed_tokens(params, self.cfg, tok[None])
+                logits, cache = forward(params, self.cfg, cache, x, p,
+                                        attn_len, jnp.int32(0))
+                k, sub = jax.random.split(k)
+                if temperature == 0.0:
+                    nxt = sample_argmax(logits)
+                elif top_p <= 0.0 or top_p >= 1.0:
+                    nxt = sample_multinomial(logits, temperature, sub)
+                else:
+                    nxt = sample_topp(logits, temperature, top_p, sub)
+                return (nxt, p + 1, cache, k), nxt
+
+            (tok, p, cache, key), toks = jax.lax.scan(
+                step, (token, pos, cache, key), length=n_steps)
+            return toks, cache
+
+        self._decode_chunk = _decode_chunk
 
     # ------------------------------------------------------------------
     def reset(self):
@@ -184,19 +220,53 @@ class Engine:
         logits = self.prefill(prompt_tokens)
         out: List[int] = []
         t_decode0 = time.perf_counter()
-        first = True
-        for _ in range(gen.max_new_tokens):
+
+        # first token comes from the prefill logits
+        key, sub = jax.random.split(key)
+        tok = int(self._sample(logits, gen, sub))
+        self.metrics.ttft_seconds = time.perf_counter() - t_start
+        out.append(tok)
+        if on_token is not None:
+            on_token(tok)
+
+        while (len(out) < gen.max_new_tokens and tok not in stop
+               and self.pos + 1 < self.cfg.seq_len):
+            # always dispatch full-size chunks (variable tail sizes would
+            # each trigger a fresh XLA compile); overshoot tokens are
+            # discarded and their cache rows are dead
+            n = self.decode_chunk
+            if self.pos + n >= self.cfg.seq_len:
+                n = 1
+            if n <= 1:
+                logits = self.decode_step(tok)
+                key, sub = jax.random.split(key)
+                tok = int(self._sample(logits, gen, sub))
+                out.append(tok)
+                if on_token is not None:
+                    on_token(tok)
+                continue
             key, sub = jax.random.split(key)
-            tok = int(self._sample(logits, gen, sub))
-            if first:
-                self.metrics.ttft_seconds = time.perf_counter() - t_start
-                first = False
-            out.append(tok)
-            if on_token is not None:
-                on_token(tok)
-            if tok in stop or self.pos + 1 >= self.cfg.seq_len:
-                break
-            logits = self.decode_step(tok)
+            attn_len = self._attn_bucket(self.pos + n)
+            toks, self.cache = self._decode_chunk(
+                self.params, self.cache, jnp.int32(tok), jnp.int32(self.pos),
+                sub, n_steps=n, attn_len=attn_len,
+                temperature=gen.temperature, top_p=gen.top_p)
+            toks = np.asarray(toks)
+            # advance only to the stop token (or the max_new_tokens budget)
+            # if generation ends mid-chunk; cache rows written past that are
+            # dead and get overwritten later
+            used = min(n, gen.max_new_tokens - len(out))
+            for i, t in enumerate(toks[:used]):
+                if int(t) in stop:
+                    used = i + 1
+                    break
+            self.pos += used
+            tok = int(toks[used - 1])
+            for t in toks[:used]:
+                out.append(int(t))
+                if on_token is not None:
+                    on_token(int(t))
+
         self.metrics.decode_tokens += len(out)
         self.metrics.decode_seconds += time.perf_counter() - t_decode0
         return out

@@ -1,0 +1,240 @@
+"""WebSocket serving backend (reference: src/bin/backend.rs:1-313).
+
+Speaks the reference's exact JSON protocol (for the lm.rs-webui project):
+
+  client → server: {"text": "...", "image": "<base64>"?}
+  server → client: {"category": "STATUS"|"OUTPUT"|"FEATURE", "text": "..."}
+    FEATURE "multimodal"      — sent at connect when the model has vision
+    STATUS  progress lines    — image preprocessing/encode/KV-fill phases
+    OUTPUT  token pieces      — streamed during generation
+    OUTPUT  "<eos>"           — end of each generation
+
+Design differences from the reference, both deliberate:
+  * The reference instantiates a whole new model per connection over the
+    shared mmap (backend.rs:88-110); here the device weights are loaded once
+    and shared — each connection gets its own Engine (KV cache + position),
+    and generations serialize through an asyncio lock (single-stream
+    decode).  Continuous batching across a dp mesh axis is the planned
+    multi-chip extension.
+  * The reference double-counts positions after an image
+    (`pos += fill_kv_cache(...)` where fill returns the new absolute
+    position, backend.rs:215 — cf. chat.rs:119 which assigns); the engine
+    tracks positions internally, so that bug has no equivalent here.
+
+Usage:
+    python -m lmrs_tpu.serve.backend --model m.lmrs --tokenizer tokenizer.bin
+        [--ip 127.0.0.1] [--port 5000] [--temperature 0.7] [--top-p 0.9]
+        [--seed N] [--multimodal] [--num-crops 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import datetime
+import io
+import json
+import sys
+from typing import List, Optional
+
+from lmrs_tpu.cli.chat import (LLAMA_SYSTEM_PREFIX, LLAMA_SYSTEM_SUFFIX,
+                               PHI_TURN_SUFFIX)
+from lmrs_tpu.config import ModelType
+
+
+def _response(category: str, text: str) -> str:
+    return json.dumps({"category": category, "text": text})
+
+
+class BackendServer:
+    def __init__(self, model_path: str, tokenizer_path: str,
+                 temperature: float = 0.7, top_p: float = 0.9,
+                 seed: Optional[int] = None, multimodal: bool = False,
+                 num_crops: int = 1, cache_dtype: str = "bfloat16",
+                 max_new_tokens: Optional[int] = None):
+        import jax.numpy as jnp
+
+        from lmrs_tpu.io.lmrs import read_lmrs
+        from lmrs_tpu.io.params import params_from_lmrs
+        from lmrs_tpu.tokenizer import Tokenizer
+
+        self.tokenizer = Tokenizer.from_file(tokenizer_path)
+        self.file = read_lmrs(model_path)
+        self.cfg = self.file.cfg
+        self.params = params_from_lmrs(self.file)
+        self.cache_dtype = (jnp.bfloat16 if cache_dtype == "bfloat16"
+                            else jnp.float32)
+        self.temperature = temperature
+        self.top_p = top_p
+        self.seed = seed
+        self.num_crops = num_crops
+        self.max_new_tokens = max_new_tokens or self.cfg.seq_len
+        self.multimodal = multimodal
+        if multimodal and not self.cfg.multimodal:
+            raise ValueError("Current model doesn't support multimodality.")
+        # single accelerator: one generation at a time
+        self.gpu_lock = asyncio.Lock()
+
+    def _new_engine(self):
+        from lmrs_tpu.runtime.engine import Engine
+
+        return Engine(self.cfg, self.params, cache_dtype=self.cache_dtype)
+
+    # ------------------------------------------------------------------
+    async def handle(self, ws):
+        """One connection = one conversation (engine + growing pos)."""
+        from lmrs_tpu.runtime.engine import GenerationConfig
+        from lmrs_tpu.tokenizer import EXTRA_STOP_TOKENS, StreamDecoder
+
+        engine = self._new_engine()
+        image_turn = False
+
+        if self.multimodal:
+            await ws.send(_response("FEATURE", "multimodal"))
+
+        gen = GenerationConfig(temperature=self.temperature,
+                               top_p=self.top_p, seed=self.seed,
+                               max_new_tokens=self.max_new_tokens)
+        stop_tokens = {self.tokenizer.eos,
+                       *EXTRA_STOP_TOKENS.get(self.cfg.model_type, ())}
+
+        async for raw in ws:
+            try:
+                msg = json.loads(raw)
+                text = msg["text"]
+            except (ValueError, KeyError, TypeError) as e:
+                # covers malformed JSON, non-UTF-8 binary frames, missing
+                # "text" — the reference likewise skips bad frames
+                # (backend.rs:221-236)
+                print(f"Error parsing message: {e}")
+                continue
+
+            if self.multimodal and msg.get("image"):
+                image_turn = await self._ingest_image(ws, engine,
+                                                      msg["image"])
+
+            prompt_tokens: List[int] = []
+            if (self.cfg.model_type == ModelType.LLAMA and engine.pos == 0):
+                prompt_tokens.extend(LLAMA_SYSTEM_PREFIX)
+                today = datetime.date.today().strftime("%d %b %Y")
+                prompt_tokens.extend(self.tokenizer.encode(today))
+                prompt_tokens.extend(LLAMA_SYSTEM_SUFFIX)
+
+            if image_turn:
+                prompt_tokens.extend(self.tokenizer.encode(text.strip()))
+                prompt_tokens.extend(PHI_TURN_SUFFIX)
+                image_turn = False
+            else:
+                prompt_tokens.extend(self.tokenizer.encode(
+                    text.strip(), chat_format=True,
+                    model_type=self.cfg.model_type))
+
+            decoder = StreamDecoder(self.tokenizer)
+            loop = asyncio.get_running_loop()
+            queue: asyncio.Queue = asyncio.Queue()
+
+            def on_token(tok: int):
+                if tok not in stop_tokens:
+                    piece = decoder.push(tok)
+                    if piece:
+                        loop.call_soon_threadsafe(queue.put_nowait, piece)
+
+            if engine.pos + len(prompt_tokens) + 1 >= self.cfg.seq_len:
+                # the reference never evicts its cache and would walk off
+                # the end (chat.rs:67,216); we surface it cleanly instead
+                await ws.send(_response(
+                    "STATUS", "Context window full — start a new session"))
+                await ws.send(_response("OUTPUT", "<eos>"))
+                continue
+
+            async with self.gpu_lock:
+                gen_task = loop.run_in_executor(
+                    None, lambda: engine.generate(
+                        prompt_tokens, gen, stop_tokens=stop_tokens,
+                        on_token=on_token))
+                while True:
+                    get = asyncio.ensure_future(queue.get())
+                    done, _ = await asyncio.wait(
+                        {get, gen_task}, return_when=asyncio.FIRST_COMPLETED)
+                    if get in done:
+                        await ws.send(_response("OUTPUT", get.result()))
+                    else:
+                        get.cancel()
+                        break
+                await gen_task
+                while not queue.empty():
+                    await ws.send(_response("OUTPUT", queue.get_nowait()))
+            tail = decoder.flush()
+            if tail:
+                await ws.send(_response("OUTPUT", tail))
+            await ws.send(_response("OUTPUT", "<eos>"))
+            print("Done!\n")
+
+    async def _ingest_image(self, ws, engine, image_b64: str) -> bool:
+        import numpy as np
+        from PIL import Image
+
+        from lmrs_tpu.models.phi3v import encode_image_to_embeds
+
+        await ws.send(_response("STATUS", "Preprocessing the image"))
+        img_bytes = base64.b64decode(image_b64)
+        tmp = io.BytesIO(img_bytes)
+        img = Image.open(tmp).convert("RGB")
+        tmp2 = io.BytesIO()
+        img.save(tmp2, format="PNG")
+
+        await ws.send(_response("STATUS", "Encoding the image"))
+        loop = asyncio.get_running_loop()
+
+        def encode():
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".png") as f:
+                f.write(tmp2.getvalue())
+                f.flush()
+                return encode_image_to_embeds(self.file, self.params,
+                                              self.cfg, f.name,
+                                              self.num_crops)
+
+        async with self.gpu_lock:
+            embeds = await loop.run_in_executor(None, encode)
+            await ws.send(_response("STATUS", "Filling KV cache"))
+            await loop.run_in_executor(
+                None, lambda: engine.prefill_embeds(embeds,
+                                                    want_logits=False))
+        return True
+
+    async def serve(self, ip: str, port: int):
+        import websockets
+
+        async with websockets.serve(self.handle, ip, port,
+                                    max_size=64 * 1024 * 1024):
+            print(f"Listening on: {ip}:{port}")
+            await asyncio.Future()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="lmrs_tpu WebSocket backend")
+    p.add_argument("--ip", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--model", required=True)
+    p.add_argument("--tokenizer", default="tokenizer.bin")
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--top-p", dest="top_p", type=float, default=0.9)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--multimodal", action="store_true")
+    p.add_argument("--num-crops", dest="num_crops", type=int, default=1)
+    args = p.parse_args(argv)
+
+    server = BackendServer(args.model, args.tokenizer, args.temperature,
+                           args.top_p, args.seed, args.multimodal,
+                           args.num_crops)
+    try:
+        asyncio.run(server.serve(args.ip, args.port))
+    except KeyboardInterrupt:
+        print("\nShutting down.")
+
+
+if __name__ == "__main__":
+    main()
