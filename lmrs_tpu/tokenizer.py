@@ -17,6 +17,7 @@ used automatically when its shared library is built; results are identical.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Dict, List, Optional, Sequence
 
@@ -59,6 +60,29 @@ class Tokenizer:
         for i, t in enumerate(self.vocab):
             self._lookup.setdefault(t, i)
         self._native = None  # lazily-attached C++ merge engine
+        if os.environ.get("LMRS_TPU_NO_NATIVE") != "1":
+            self._attach_native()
+
+    def _attach_native(self) -> bool:
+        """Try to attach the C++ merge engine (lmrs_tpu/native); silently
+        keeps the pure-Python path when the toolchain is unavailable."""
+        try:
+            from lmrs_tpu.native import NativeTokenizerEngine
+
+            self._native = NativeTokenizerEngine(self._serialize())
+            return True
+        except Exception:
+            self._native = None
+            return False
+
+    def _serialize(self) -> bytes:
+        out = [struct.pack("<IIII", len(self.vocab), self.max_token_len,
+                           self.bos, self.eos)]
+        for s, t in zip(self.scores, self.vocab):
+            b = t.encode("utf-8")
+            out.append(struct.pack("<fI", s, len(b)))
+            out.append(b)
+        return b"".join(out)
 
     # ------------------------------------------------------------------
     # container
