@@ -77,7 +77,9 @@ def main():
     log(f"devices: {jax.devices()}")
     t0 = time.time()
     f = read_lmrs(model_path)
-    params = params_from_lmrs(f)
+    layout = os.environ.get("LMRS_BENCH_LAYOUT", "unrolled")
+    params = params_from_lmrs(f, stack_layers=(layout != "unrolled"),
+                              fuse_qkv=(layout == "unrolled"))
     jax.block_until_ready(jax.tree_util.tree_leaves(params))
     log(f"load+transfer: {time.time() - t0:.1f}s")
 

@@ -48,7 +48,8 @@ def _quantize_dense(cfg: ModelConfig, w: np.ndarray):
 
 
 def params_from_weights(cfg: ModelConfig, weights: Dict[str, np.ndarray],
-                        shardings=None) -> TransformerParams:
+                        shardings=None, stack_layers: bool = True,
+                        fuse_qkv: bool = False) -> TransformerParams:
     """From dense float weights keyed by the .lmrs layout names."""
     qw: Dict[str, tuple] = {}
     for name, w in weights.items():
@@ -58,12 +59,19 @@ def params_from_weights(cfg: ModelConfig, weights: Dict[str, np.ndarray],
             qw[name] = _quantize_dense(cfg, w)
         else:
             qw[name] = (w.astype(np.float32), None)
-    return _assemble(cfg, qw, shardings)
+    return _assemble(cfg, qw, shardings, stack_layers=stack_layers,
+                     fuse_qkv=fuse_qkv)
 
 
-def params_from_lmrs(f: LmrsFile, shardings=None) -> TransformerParams:
-    """From a parsed .lmrs file's zero-copy tensor views."""
-    return _assemble(f.cfg, f.tensors, shardings)
+def params_from_lmrs(f: LmrsFile, shardings=None, stack_layers: bool = True,
+                     fuse_qkv: bool = False) -> TransformerParams:
+    """From a parsed .lmrs file's zero-copy tensor views.
+
+    stack_layers=False + fuse_qkv=True is the fast single-chip serving
+    layout (unrolled layer loop, fused [q;k;v] and [gate;up] matmuls).
+    """
+    return _assemble(f.cfg, f.tensors, shardings, stack_layers=stack_layers,
+                     fuse_qkv=fuse_qkv)
 
 
 def vision_params_from_lmrs(f: LmrsFile):
@@ -134,10 +142,12 @@ def vision_params_from_lmrs(f: LmrsFile):
 
 
 def _assemble(cfg: ModelConfig, t: Dict[str, tuple],
-              shardings=None) -> TransformerParams:
+              shardings=None, stack_layers: bool = True,
+              fuse_qkv: bool = False) -> TransformerParams:
     sh = shardings or {}
     L, D, H = cfg.n_layers, cfg.dim, cfg.hidden_dim
     A, KV, V = cfg.att_dim, cfg.kv_dim, cfg.vocab_size
+    gemma = cfg.model_type == ModelType.GEMMA
 
     def stacked_q(name, out_f, in_f):
         qs = _stack([t[f"{name}@{l}"][0] for l in range(L)])
@@ -151,20 +161,63 @@ def _assemble(cfg: ModelConfig, t: Dict[str, tuple],
                       for l in range(L)])
         return jax.device_put(arr, sh[name]) if name in sh else jnp.asarray(arr)
 
-    gemma = cfg.model_type == ModelType.GEMMA
-    layers = LayerWeights(
-        att_norm=stacked_f("att_norm"),
-        wq=stacked_q("wq", A, D),
-        wk=stacked_q("wk", KV, D),
-        wv=stacked_q("wv", KV, D),
-        wo=stacked_q("wo", D, A),
-        post_att_norm=stacked_f("post_att_norm"),
-        pre_ffn_norm=stacked_f("pre_ffn_norm") if gemma else None,
-        w1=stacked_q("w1", H, D),
-        w2=stacked_q("w2", D, H),
-        w3=stacked_q("w3", H, D),
-        post_ffn_norm=stacked_f("post_ffn_norm") if gemma else None,
-    )
+    def layer_q(name, l, out_f, in_f):
+        q, s = t[f"{name}@{l}"]
+        return _qtensor(cfg, np.asarray(q), None if s is None else
+                        np.asarray(s), out_f, in_f, None)
+
+    def fused_q(names, l, out_f, in_f):
+        qs = np.concatenate([np.asarray(t[f"{n}@{l}"][0]) for n in names],
+                            axis=0)
+        ss = None
+        if cfg.quant != QuantType.NONE:
+            ss = np.concatenate([np.asarray(t[f"{n}@{l}"][1])
+                                 for n in names], axis=0)
+        return _qtensor(cfg, qs, ss, out_f, in_f, None)
+
+    def layer_f(name, l):
+        return jnp.asarray(np.asarray(t[f"{name}@{l}"][0], np.float32))
+
+    if stack_layers:
+        layers = LayerWeights(
+            att_norm=stacked_f("att_norm"),
+            wq=stacked_q("wq", A, D),
+            wk=stacked_q("wk", KV, D),
+            wv=stacked_q("wv", KV, D),
+            wo=stacked_q("wo", D, A),
+            post_att_norm=stacked_f("post_att_norm"),
+            pre_ffn_norm=stacked_f("pre_ffn_norm") if gemma else None,
+            w1=stacked_q("w1", H, D),
+            w2=stacked_q("w2", D, H),
+            w3=stacked_q("w3", H, D),
+            post_ffn_norm=stacked_f("post_ffn_norm") if gemma else None,
+        )
+    else:
+        layers = []
+        for l in range(L):
+            if fuse_qkv:
+                wqkv = fused_q(("wq", "wk", "wv"), l, A + 2 * KV, D)
+                w13 = fused_q(("w1", "w3"), l, 2 * H, D)
+                wq = wk = wv = w1 = w3 = None
+            else:
+                wqkv = w13 = None
+                wq = layer_q("wq", l, A, D)
+                wk = layer_q("wk", l, KV, D)
+                wv = layer_q("wv", l, KV, D)
+                w1 = layer_q("w1", l, H, D)
+                w3 = layer_q("w3", l, H, D)
+            layers.append(LayerWeights(
+                att_norm=layer_f("att_norm", l),
+                wq=wq, wk=wk, wv=wv,
+                wo=layer_q("wo", l, D, A),
+                post_att_norm=layer_f("post_att_norm", l),
+                pre_ffn_norm=layer_f("pre_ffn_norm", l) if gemma else None,
+                w1=w1,
+                w2=layer_q("w2", l, D, H),
+                w3=w3,
+                post_ffn_norm=layer_f("post_ffn_norm", l) if gemma else None,
+                wqkv=wqkv, w13=w13,
+            ))
 
     embed = _qtensor(cfg, t["embed"][0], t["embed"][1], V, D,
                      sh.get("embed"))

@@ -43,7 +43,8 @@ from lmrs_tpu.quant import QTensor, QuantType, dequantize
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=("att_norm", "wq", "wk", "wv", "wo", "post_att_norm",
-                 "pre_ffn_norm", "w1", "w2", "w3", "post_ffn_norm"),
+                 "pre_ffn_norm", "w1", "w2", "w3", "post_ffn_norm",
+                 "wqkv", "w13"),
     meta_fields=(),
 )
 @dataclasses.dataclass
@@ -52,19 +53,27 @@ class LayerWeights:
 
     Tensor order matches the .lmrs layout (reference: export.py:87-125).
     pre_ffn_norm / post_ffn_norm are Gemma-only (None otherwise).
+
+    wqkv / w13 are optional output-axis concatenations ([q;k;v] and
+    [gate;up]) built by the param loader: one fused matmul per pair halves
+    the kernel-launch count on the decode path, with identical arithmetic
+    (group quantization is per-row, so row concatenation is exact).  When
+    present they are used INSTEAD of wq/wk/wv/w1/w3 (which are then None).
     """
 
     att_norm: jax.Array                 # (D,)
-    wq: QTensor                         # (att_dim, D)
-    wk: QTensor                         # (kv_dim, D)
-    wv: QTensor                         # (kv_dim, D)
+    wq: Optional[QTensor]               # (att_dim, D)
+    wk: Optional[QTensor]               # (kv_dim, D)
+    wv: Optional[QTensor]               # (kv_dim, D)
     wo: QTensor                         # (D, att_dim)
     post_att_norm: jax.Array            # (D,)
     pre_ffn_norm: Optional[jax.Array]   # (D,) Gemma only
-    w1: QTensor                         # (H, D) gate
+    w1: Optional[QTensor]               # (H, D) gate
     w2: QTensor                         # (D, H) down
-    w3: QTensor                         # (H, D) up
+    w3: Optional[QTensor]               # (H, D) up
     post_ffn_norm: Optional[jax.Array]  # (D,) Gemma only
+    wqkv: Optional[QTensor] = None      # (att_dim + 2*kv_dim, D)
+    w13: Optional[QTensor] = None       # (2*H, D)
 
 
 @partial(
@@ -136,10 +145,15 @@ def embed_tokens(params: TransformerParams, cfg: ModelConfig,
 
 
 def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
-           k_cache: jax.Array, v_cache: jax.Array,
+           k_cache: jax.Array, v_cache: jax.Array, layer_idx: jax.Array,
            cos: jax.Array, sin: jax.Array, pos: jax.Array,
            attn_len: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One decoder layer over T tokens.  Returns (x, k_cache, v_cache).
+
+    The FULL stacked (L, S, KH, hd) cache is threaded through (scan carry),
+    updated in place at (layer_idx, pos) — XLA keeps carried
+    dynamic-update-slices in-place in HBM, whereas stacking per-layer caches
+    as scan outputs would copy the whole cache every step.
 
     Parity with reference src/transformer.rs:388-657.
     """
@@ -148,9 +162,18 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
 
     xb = rmsnorm(x, lw.att_norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
 
-    q = qmatmul(xb, lw.wq, cfg.matmul_impl).reshape(t_q, cfg.n_heads, cfg.head_dim)
-    k = qmatmul(xb, lw.wk, cfg.matmul_impl).reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
-    v = qmatmul(xb, lw.wv, cfg.matmul_impl).reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
+    if lw.wqkv is not None:
+        qkv = qmatmul(xb, lw.wqkv, cfg.matmul_impl)
+        q = qkv[:, : cfg.att_dim]
+        k = qkv[:, cfg.att_dim: cfg.att_dim + cfg.kv_dim]
+        v = qkv[:, cfg.att_dim + cfg.kv_dim:]
+    else:
+        q = qmatmul(xb, lw.wq, cfg.matmul_impl)
+        k = qmatmul(xb, lw.wk, cfg.matmul_impl)
+        v = qmatmul(xb, lw.wv, cfg.matmul_impl)
+    q = q.reshape(t_q, cfg.n_heads, cfg.head_dim)
+    k = k.reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
+    v = v.reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
 
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
@@ -158,14 +181,21 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
     # The cache stores rotated keys, like the reference (which applies RoPE
     # in-place on cache slices, src/transformer.rs:443,486-491).
     k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k.astype(k_cache.dtype), (pos, 0, 0))
+        k_cache, k[None].astype(k_cache.dtype), (layer_idx, pos, 0, 0))
     v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v.astype(v_cache.dtype), (pos, 0, 0))
+        v_cache, v[None].astype(v_cache.dtype), (layer_idx, pos, 0, 0))
+
+    k_att = jax.lax.dynamic_slice(
+        k_cache, (layer_idx, 0, 0, 0),
+        (1, attn_len, cfg.n_kv_heads, cfg.head_dim))[0]
+    v_att = jax.lax.dynamic_slice(
+        v_cache, (layer_idx, 0, 0, 0),
+        (1, attn_len, cfg.n_kv_heads, cfg.head_dim))[0]
 
     att = attention(
         q,
-        k_cache[:attn_len],
-        v_cache[:attn_len],
+        k_att,
+        v_att,
         pos,
         scale=cfg.attn_scale,
         softcap=cfg.attn_logit_softcap,
@@ -184,8 +214,12 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         x = x + o
         xb2 = rmsnorm(x, lw.post_att_norm, cfg.rms_norm_eps, False)
 
-    gate = qmatmul(xb2, lw.w1, cfg.matmul_impl)
-    up = qmatmul(xb2, lw.w3, cfg.matmul_impl)
+    if lw.w13 is not None:
+        gu = qmatmul(xb2, lw.w13, cfg.matmul_impl)
+        gate, up = gu[:, : cfg.hidden_dim], gu[:, cfg.hidden_dim:]
+    else:
+        gate = qmatmul(xb2, lw.w1, cfg.matmul_impl)
+        up = qmatmul(xb2, lw.w3, cfg.matmul_impl)
     act = (gelu_tanh(gate) if is_gemma else silu(gate)) * up
     ff = qmatmul(act, lw.w2, cfg.matmul_impl)
 
@@ -219,12 +253,25 @@ def forward(
     sin = jax.lax.dynamic_slice(params.rope_sin, (pos, 0),
                                 (t_q, params.rope_sin.shape[1]))
 
-    def body(h, xs):
-        lw, k_l, v_l = xs
-        h, k_l, v_l = _layer(cfg, h, lw, k_l, v_l, cos, sin, pos, attn_len)
-        return h, (k_l, v_l)
+    if isinstance(params.layers, (list, tuple)):
+        # unrolled: each layer's weights are separate jit inputs, so the
+        # fused matmul kernels read them straight from their HBM buffers
+        # (scan xs slicing materializes a copy of every layer's weights
+        # before each opaque kernel call — measurable on real chips)
+        k_c, v_c = cache.k, cache.v
+        for l, lw in enumerate(params.layers):
+            x, k_c, v_c = _layer(cfg, x, lw, k_c, v_c, l, cos, sin, pos,
+                                 attn_len)
+        k_new, v_new = k_c, v_c
+    else:
+        def body(carry, lw):
+            h, k_c, v_c, l = carry
+            h, k_c, v_c = _layer(cfg, h, lw, k_c, v_c, l, cos, sin, pos,
+                                 attn_len)
+            return (h, k_c, v_c, l + 1), None
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (params.layers, cache.k, cache.v))
+        (x, k_new, v_new, _), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v, jnp.int32(0)), params.layers)
     new_cache = KVCache(k=k_new, v=v_new)
 
     if logit_idx is None:

@@ -271,6 +271,34 @@ class Engine:
         self.metrics.decode_seconds += time.perf_counter() - t_decode0
         return out
 
+    # ------------------------------------------------------------------
+    # Session persistence — the reference has none (its KV cache and `pos`
+    # die with the process, SURVEY.md §5); here a conversation can be
+    # checkpointed and resumed across processes.
+    def save_session(self, path: str) -> None:
+        np.savez(path,
+                 k=np.asarray(self.cache.k), v=np.asarray(self.cache.v),
+                 pos=self.pos,
+                 sig=np.asarray(self._session_sig(), np.int64))
+
+    def load_session(self, path: str) -> None:
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+        if list(data["sig"]) != list(self._session_sig()):
+            raise ValueError("session file does not match this model config")
+        self.cache = KVCache(k=jnp.asarray(data["k"], self.cache_dtype),
+                             v=jnp.asarray(data["v"], self.cache_dtype))
+        self.pos = int(data["pos"])
+
+    def _session_sig(self):
+        c = self.cfg
+        return (c.n_layers, c.seq_len, c.n_kv_heads, c.head_dim,
+                int(c.model_type), int(c.quant))
+
+    def profile_trace(self, log_dir: str):
+        """Context manager: wrap generation in a jax.profiler trace for
+        tensorboard (`python -m tensorboard.main --logdir=<dir>`)."""
+        return jax.profiler.trace(log_dir)
+
     def _sample(self, logits: jax.Array, gen: GenerationConfig,
                 key: jax.Array) -> jax.Array:
         if gen.temperature == 0.0:

@@ -123,6 +123,31 @@ def test_gemma_softcap_bug_parity_flag():
     assert not np.allclose(fixed, want)
 
 
+@pytest.mark.parametrize("qtype", [QuantType.Q8_0, QuantType.Q4_0])
+def test_unrolled_fused_layout_matches_stacked(qtype):
+    """Unrolled layer list + fused [q;k;v]/[gate;up] matmuls must produce
+    byte-identical logits to the scanned stacked layout (row concatenation
+    is exact for per-row group quantization)."""
+    cfg, weights = _build(ModelType.LLAMA, qtype)
+    prompt = [4, 8, 15, 16, 23, 42]
+
+    eng_a = Engine(cfg, params_from_weights(cfg, weights),
+                   cache_dtype=jnp.float32, min_attn_bucket=32,
+                   prefill_chunk=8)
+    eng_b = Engine(cfg, params_from_weights(cfg, weights, stack_layers=False,
+                                            fuse_qkv=True),
+                   cache_dtype=jnp.float32, min_attn_bucket=32,
+                   prefill_chunk=8)
+    la = np.asarray(eng_a.prefill(prompt))
+    lb = np.asarray(eng_b.prefill(prompt))
+    np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-6)
+
+    gen = GenerationConfig(temperature=0.0, max_new_tokens=10)
+    eng_a.reset()
+    eng_b.reset()
+    assert eng_a.generate(prompt, gen) == eng_b.generate(prompt, gen)
+
+
 def test_long_generation_crosses_buckets():
     """Generation that crosses attn_len bucket boundaries stays coherent."""
     cfg, weights = _build(ModelType.LLAMA, QuantType.Q8_0)
