@@ -17,21 +17,47 @@ from lmrs_tpu.config import ModelConfig, ModelType
 from lmrs_tpu.io.lmrs import LmrsFile
 from lmrs_tpu.models.transformer import LayerWeights, TransformerParams
 from lmrs_tpu.ops.rope import rope_tables
-from lmrs_tpu.quant import QTensor, QuantType, quantize_q40_np, quantize_q80_np
+from lmrs_tpu.quant import (QTensor, QuantType, q4_file_to_runtime_np,
+                            quantize_q40_np, quantize_q80_np)
 
 
 def _stack(arrs):
     return np.stack(arrs, axis=0)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("group_size",), donate_argnums=(0,))
+def _q4_repack_device(q: jax.Array, group_size: int) -> jax.Array:
+    """File layout (adjacent pairs) → runtime layout (group halves), on
+    device — the host-side numpy equivalent is q4_file_to_runtime_np, but a
+    multi-GB repack runs orders faster on the accelerator."""
+    u = q.astype(jnp.uint8)
+    half = group_size // 2
+    b = u.reshape(*u.shape[:-1], -1, half)       # (..., G, gs/2 bytes)
+    lo = b & 0x0F                                 # even elements (+8)
+    hi = (b >> 4) & 0x0F                          # odd elements (+8)
+    vals = jnp.stack([lo, hi], axis=-1).reshape(*b.shape[:-1],
+                                                group_size)  # natural order
+    out = vals[..., :half] | (vals[..., half:] << 4)
+    return out.reshape(u.shape).astype(jnp.uint8)
+
+
 def _qtensor(cfg: ModelConfig, q: np.ndarray, s: Optional[np.ndarray],
-             out_f: int, in_f: int, sharding=None) -> QTensor:
+             out_f: int, in_f: int, sharding=None,
+             file_layout: bool = True) -> QTensor:
     put = (lambda a: jax.device_put(a, sharding)) if sharding else jnp.asarray
     if cfg.quant == QuantType.NONE:
         return QTensor(put(np.ascontiguousarray(q, np.float32)), None,
                        QuantType.NONE, cfg.group_size, out_f, in_f)
-    return QTensor(put(np.ascontiguousarray(q)),
-                   put(np.ascontiguousarray(s, np.float32)),
+    qd = put(np.ascontiguousarray(q))
+    if cfg.quant == QuantType.Q4_0 and file_layout:
+        # repack adjacent-pair file bytes into the runtime group-half layout
+        qd = _q4_repack_device(qd, cfg.group_size)
+        if sharding is not None:
+            qd = jax.device_put(qd, sharding)
+    return QTensor(qd, put(np.ascontiguousarray(s, np.float32)),
                    cfg.quant, cfg.group_size, out_f, in_f)
 
 

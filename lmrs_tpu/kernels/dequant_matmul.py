@@ -80,24 +80,32 @@ def _q8_kernel(x_ref, w_ref, s_ref, e_ref, o_ref, acc_ref, *, n_k: int):
         o_ref[:] = acc_ref[:]
 
 
-def _q4_kernel(x_ref, w_ref, s_ref, e_ref, o_ref, acc_ref, *, n_k: int):
+def _q4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, e_ref, o_ref, acc_ref, *,
+               n_k: int):
+    """Q4 with the RUNTIME group-half layout (see quant.unpack_q4): a byte's
+    nibbles are elements j and j+gs/2 of the SAME group, so both nibbles use
+    one scale and the unpacked halves dot against block-contiguous halves of
+    x — two clean MXU matmuls, no interleaving, no concat."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # s_rep covers K_T/2 packed positions (scale of element pair); the
-    # (1, O_T, G_T) block is this tile's scale window (see Q8 note).
     s_rep = jnp.dot(s_ref[0], e_ref[:], preferred_element_type=jnp.float32)
     u = w_ref[:]                                        # (O_T, K_T/2) uint8
-    lo = ((u & 0x0F).astype(jnp.int8) - 8).astype(jnp.float32) * s_rep
-    hi = (((u >> 4) & 0x0F).astype(jnp.int8) - 8).astype(jnp.float32) * s_rep
-    w_f = jnp.concatenate([lo, hi], axis=-1)            # (O_T, K_T) deint.
-    acc_ref[:] += jax.lax.dot_general(
-        w_f, x_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # NB: Mosaic can neither subtract int8 vectors (arith.subi on i8) nor
+    # cast uint8→f32; route masked nibbles through int8 (values 0..15 are
+    # sign-safe) and subtract the offset after the float cast
+    lo = ((u & 0x0F).astype(jnp.int8).astype(jnp.float32) - 8.0) * s_rep
+    hi = (((u >> 4) & 0x0F).astype(jnp.int8).astype(jnp.float32) - 8.0) * s_rep
+    acc_ref[:] += (
+        jax.lax.dot_general(lo, xlo_ref[:],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(hi, xhi_ref[:],
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32))
 
     @pl.when(j == n_k - 1)
     def _():
@@ -151,18 +159,22 @@ def qmatmul_pallas(x: jax.Array, w: QTensor, *,
             interpret=interpret,
         )(x2, w.q, s_tiled, e)
     elif w.qtype == QuantType.Q4_0:
-        # deinterleave x per K tile so even/odd elements line up with the
-        # lo/hi nibble halves the kernel concatenates
-        x_tiles = x2.reshape(t_pad, n_k, k_tile)
-        x_de = jnp.concatenate([x_tiles[..., 0::2], x_tiles[..., 1::2]],
-                               axis=-1).reshape(t_pad, n)
+        # split x into per-group halves matching the runtime nibble layout:
+        # x_lo = first gs/2 of every group, x_hi = second gs/2 (block-level
+        # slices — cheap XLA copies of the tiny activation tensor)
+        half = gs // 2
+        xg = x2.reshape(t_pad, n // gs, gs)
+        x_lo = xg[:, :, :half].reshape(t_pad, n // 2)
+        x_hi = xg[:, :, half:].reshape(t_pad, n // 2)
         e = jnp.asarray(_expansion_matrix(g_tile, k_tile // 2))
         grid = (n_o, n_k)
         out = pl.pallas_call(
             functools.partial(_q4_kernel, n_k=n_k),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((t_pad, k_tile), lambda i, j: (0, j),
+                pl.BlockSpec((t_pad, k_tile // 2), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_pad, k_tile // 2), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((o_tile, k_tile // 2), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
@@ -176,7 +188,7 @@ def qmatmul_pallas(x: jax.Array, w: QTensor, *,
             out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
             scratch_shapes=[pltpu.VMEM((o_tile, t_pad), jnp.float32)],
             interpret=interpret,
-        )(x_de, w.q, s_tiled, e)
+        )(x_lo, x_hi, w.q, s_tiled, e)
     else:
         raise ValueError(f"pallas path needs quantized weights, got {w.qtype}")
 

@@ -133,7 +133,7 @@ def embed_tokens(params: TransformerParams, cfg: ModelConfig,
         srows = emb.s[tokens]
         if emb.qtype == QuantType.Q4_0:
             from lmrs_tpu.quant import unpack_q4
-            vals = unpack_q4(qrows).astype(jnp.float32)
+            vals = unpack_q4(qrows, emb.group_size).astype(jnp.float32)
         else:
             vals = qrows.astype(jnp.float32)
         gs = emb.group_size

@@ -87,7 +87,7 @@ def qmatmul(x: jax.Array, w: QTensor, impl: str = "exact") -> jax.Array:
         y = _group_dot(xq, xs, w.q, w.s, w.group_size)
     elif w.qtype == QuantType.Q4_0:
         xq, xs = quantize_q4_act(x2, w.group_size)
-        wq = unpack_q4(w.q)
+        wq = unpack_q4(w.q, w.group_size)
         y = _group_dot(xq, xs, wq, w.s, w.group_size)
     else:
         raise ValueError(w.qtype)

@@ -134,16 +134,51 @@ def quantize_q4_act(x: jax.Array, group_size: int):
 # Weight dequantization (JAX)
 # ---------------------------------------------------------------------------
 
-def unpack_q4(packed: jax.Array) -> jax.Array:
-    """Unpack nibble-packed Q4 bytes (..., n//2) → int8 values (..., n) in [-8,7].
+def unpack_q4_file(packed: jax.Array) -> jax.Array:
+    """Unpack FILE-layout Q4 bytes (..., n//2) → int8 values (..., n).
 
-    Low nibble is the even element, high nibble the odd element
-    (reference: src/quantization.rs:17-23, utils/quantization.py:37)."""
+    The .lmrs file packs adjacent elements: low nibble = even element, high
+    nibble = odd (reference: src/quantization.rs:17-23,
+    utils/quantization.py:37)."""
     u = packed.astype(jnp.uint8)
     lo = (u & 0x0F).astype(jnp.int8) - 8
     hi = ((u >> 4) & 0x0F).astype(jnp.int8) - 8
     out = jnp.stack([lo, hi], axis=-1)
     return out.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
+
+
+def unpack_q4(packed: jax.Array, group_size: int) -> jax.Array:
+    """Unpack RUNTIME-layout Q4 bytes (..., n//2) → int8 values (..., n).
+
+    The runtime layout pairs element j of a group with element j + gs/2 of
+    the SAME group (low nibble = first half, high = second half), so a
+    packed byte's two values share one scale and unpacked halves are
+    block-contiguous — the fused kernels then need no element-interleaving
+    (see kernels/dequant_matmul.py)."""
+    half = group_size // 2
+    u = packed.astype(jnp.uint8)
+    lo = (u & 0x0F).astype(jnp.int8) - 8
+    hi = ((u >> 4) & 0x0F).astype(jnp.int8) - 8
+    g = packed.shape[-1] // half
+    lo = lo.reshape(*packed.shape[:-1], g, half)
+    hi = hi.reshape(*packed.shape[:-1], g, half)
+    out = jnp.concatenate([lo, hi], axis=-1)
+    return out.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
+
+
+def q4_file_to_runtime_np(packed: np.ndarray, group_size: int) -> np.ndarray:
+    """Repack file-layout (adjacent-pair) Q4 bytes into the runtime
+    group-half-offset layout.  Pure byte permutation — values unchanged."""
+    u = np.asarray(packed).view(np.uint8)
+    n2 = u.shape[-1]
+    lo = u & 0x0F           # even elements (+8)
+    hi = (u >> 4) & 0x0F    # odd elements (+8)
+    vals = np.stack([lo, hi], axis=-1).reshape(*u.shape[:-1], n2 * 2)
+    g = vals.reshape(*u.shape[:-1], (n2 * 2) // group_size, group_size)
+    first = g[..., : group_size // 2]
+    second = g[..., group_size // 2:]
+    out = (first | (second << 4)).astype(np.uint8)
+    return out.reshape(*u.shape[:-1], n2)
 
 
 def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
@@ -155,7 +190,7 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
     if qt.qtype == QuantType.Q8_0:
         vals = qt.q.astype(jnp.float32)
     elif qt.qtype == QuantType.Q4_0:
-        vals = unpack_q4(qt.q).astype(jnp.float32)
+        vals = unpack_q4(qt.q, qt.group_size).astype(jnp.float32)
     else:
         raise ValueError(qt.qtype)
     gs = qt.group_size
@@ -244,6 +279,9 @@ def qtensor_from_float_np(w: np.ndarray, qtype: QuantType, group_size: int,
         q = q.reshape(*lead, out_f, in_f)
     else:
         q, s, _ = quantize_q40_np(flat, group_size)
+        q = q4_file_to_runtime_np(q.reshape(-1, group_size // 2)
+                                  .reshape(flat.shape[0], in_f // 2),
+                                  group_size)
         q = q.reshape(*lead, out_f, in_f // 2)
     s = s.reshape(*lead, out_f, in_f // group_size)
     return QTensor(jnp.asarray(q), jnp.asarray(s), qtype, group_size, out_f, in_f)

@@ -77,7 +77,7 @@ def test_qmatmul_matches_golden(qtype, batch):
         else:
             xq, xs = g_quantize_q4(x, gs)
             from lmrs_tpu.quant import unpack_q4
-            wq, ws = np.asarray(unpack_q4(qt.q)), np.asarray(qt.s)
+            wq, ws = np.asarray(unpack_q4(qt.q, gs)), np.asarray(qt.s)
         want = g_matmul_int(xq, xs, wq, ws, gs)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 

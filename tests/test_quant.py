@@ -63,11 +63,19 @@ def test_round_half_away_from_zero():
 
 
 def test_q4_pack_unpack_roundtrip():
+    from lmrs_tpu.quant import q4_file_to_runtime_np, unpack_q4_file
+
     w = RNG.normal(0, 1, size=(8, 64)).astype(np.float32)
     packed, s, err = quantize_q40_np(w, 32)
-    un = np.asarray(unpack_q4(jnp.asarray(packed.reshape(8, 32))))
-    assert un.shape == (8, 64)
-    assert un.min() >= -8 and un.max() <= 7
+    packed = packed.reshape(8, 32)
+    # file layout unpack
+    un_file = np.asarray(unpack_q4_file(jnp.asarray(packed)))
+    assert un_file.shape == (8, 64)
+    assert un_file.min() >= -8 and un_file.max() <= 7
+    # runtime repack + runtime unpack must give the SAME natural-order values
+    rt = q4_file_to_runtime_np(packed, 32)
+    un_rt = np.asarray(unpack_q4(jnp.asarray(rt), 32))
+    np.testing.assert_array_equal(un_rt, un_file)
     # reconstruction error bounded by scale (scale = absmax/7.5 per group)
     deq = dequantize_np(packed, s, QuantType.Q4_0, 32, w.size)
     assert np.abs(deq - w.reshape(-1)).max() <= np.abs(s).max() * 0.5 + 1e-6
@@ -90,8 +98,13 @@ def test_qtensor_dequant_matches_np(qtype):
     deq = np.asarray(dequantize(qt))
     if qtype == QuantType.NONE:
         np.testing.assert_array_equal(deq, w)
-    else:
-        q = qt.q if qtype == QuantType.Q8_0 else np.asarray(qt.q)
+    elif qtype == QuantType.Q8_0:
         ref = dequantize_np(np.asarray(qt.q), np.asarray(qt.s), qtype, 32,
                             w.size).reshape(16, 64)
+        np.testing.assert_allclose(deq, ref, atol=0)
+    else:
+        # runtime QTensor uses the group-half layout; compare against the
+        # file-layout dequant of the same quantization
+        qf, s, _ = quantize_q40_np(w, 32)
+        ref = dequantize_np(qf, s, qtype, 32, w.size).reshape(16, 64)
         np.testing.assert_allclose(deq, ref, atol=0)
