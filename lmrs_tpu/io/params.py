@@ -51,12 +51,16 @@ def _qtensor(cfg: ModelConfig, q: np.ndarray, s: Optional[np.ndarray],
     if cfg.quant == QuantType.NONE:
         return QTensor(put(np.ascontiguousarray(q, np.float32)), None,
                        QuantType.NONE, cfg.group_size, out_f, in_f)
-    qd = put(np.ascontiguousarray(q))
     if cfg.quant == QuantType.Q4_0 and file_layout:
-        # repack adjacent-pair file bytes into the runtime group-half layout
-        qd = _q4_repack_device(qd, cfg.group_size)
+        # repack adjacent-pair file bytes into the runtime group-half
+        # layout ON DEVICE — host memory here can be orders of magnitude
+        # slower than the accelerator (a jitted elementwise pass per shape)
+        qd = _q4_repack_device(put(np.ascontiguousarray(q)),
+                               cfg.group_size)
         if sharding is not None:
             qd = jax.device_put(qd, sharding)
+    else:
+        qd = put(np.ascontiguousarray(q))
     return QTensor(qd, put(np.ascontiguousarray(s, np.float32)),
                    cfg.quant, cfg.group_size, out_f, in_f)
 

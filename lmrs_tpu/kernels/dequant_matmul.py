@@ -93,12 +93,16 @@ def _q4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, e_ref, o_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     s_rep = jnp.dot(s_ref[0], e_ref[:], preferred_element_type=jnp.float32)
-    u = w_ref[:]                                        # (O_T, K_T/2) uint8
-    # NB: Mosaic can neither subtract int8 vectors (arith.subi on i8) nor
-    # cast uint8→f32; route masked nibbles through int8 (values 0..15 are
-    # sign-safe) and subtract the offset after the float cast
-    lo = ((u & 0x0F).astype(jnp.int8).astype(jnp.float32) - 8.0) * s_rep
-    hi = (((u >> 4) & 0x0F).astype(jnp.int8).astype(jnp.float32) - 8.0) * s_rep
+    # Nibble unpack in pure float math: Mosaic's 8-bit integer vector ops
+    # (shrui/subi/...) fail to legalize at many tile shapes, so bitcast the
+    # bytes to int8 (same width), convert to f32, and split arithmetically:
+    #   v  = byte as signed int8 (= u - 256 when u >= 128)
+    #   h0 = floor(v/16); lo = v - 16*h0   (== u & 0xF, exact for negatives)
+    #   hi = h0 + 16 if v < 0 else h0      (== u >> 4)
+    vf = pltpu.bitcast(w_ref[:], jnp.int8).astype(jnp.float32)
+    h0 = jnp.floor(vf * 0.0625)
+    lo = ((vf - h0 * 16.0) - 8.0) * s_rep
+    hi = (jnp.where(vf < 0, h0 + 16.0, h0) - 8.0) * s_rep
     acc_ref[:] += (
         jax.lax.dot_general(lo, xlo_ref[:],
                             dimension_numbers=(((1,), (1,)), ((), ())),

@@ -49,8 +49,27 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.lmrs_tok_lookup.restype = ctypes.c_int64
         lib.lmrs_tok_lookup.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                         ctypes.c_uint64]
+        lib.lmrs_q4_repack.restype = None
+        lib.lmrs_q4_repack.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_uint64, ctypes.c_uint32]
         _lib = lib
         return _lib
+
+
+def q4_repack(src, group_size: int):
+    """C++ file→runtime Q4 repack; returns a new uint8 array of src's shape,
+    or None when the native library is unavailable."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src).view(np.uint8)
+    dst = np.empty_like(src)
+    lib.lmrs_q4_repack(src.ctypes.data_as(ctypes.c_void_p),
+                       dst.ctypes.data_as(ctypes.c_void_p),
+                       src.size, group_size)
+    return dst
 
 
 class NativeTokenizerEngine:

@@ -101,4 +101,29 @@ int64_t lmrs_tok_merge(void* handle, uint32_t* ids, int64_t n) {
   return static_cast<int64_t>(t.size());
 }
 
+// ---------------------------------------------------------------------------
+// Q4 byte repack: file layout (adjacent-pair nibbles) → runtime layout
+// (group-half nibbles; see lmrs_tpu/quant.py).  One streaming pass — used at
+// model load where a multi-GB numpy repack on one core would take minutes.
+// `data` is n bytes of packed rows whose row length divides into groups of
+// group_size/2 bytes; the transform is local to each group.
+void lmrs_q4_repack(const uint8_t* src, uint8_t* dst, uint64_t n,
+                    uint32_t group_size) {
+  const uint64_t gb = group_size / 2;  // bytes per group
+  const uint64_t hb = gb / 2;          // source bytes per half-group
+  for (uint64_t g0 = 0; g0 < n; g0 += gb) {
+    const uint8_t* s = src + g0;       // s[k] holds natural values 2k, 2k+1
+    uint8_t* d = dst + g0;
+    // output byte j pairs natural values j and j+gb; consecutive output
+    // bytes (2k, 2k+1) draw from source bytes k and k+hb — branch-free,
+    // auto-vectorizable
+    for (uint64_t k = 0; k < hb; ++k) {
+      const uint8_t a = s[k];
+      const uint8_t b = s[k + hb];
+      d[2 * k] = static_cast<uint8_t>((a & 0x0F) | ((b & 0x0F) << 4));
+      d[2 * k + 1] = static_cast<uint8_t>((a >> 4) | (b & 0xF0));
+    }
+  }
+}
+
 }  // extern "C"

@@ -37,6 +37,20 @@ def test_native_handles_out_of_vocab_ids():
     assert tok._merge(ids) == py._merge(ids)
 
 
+def test_native_q4_repack_matches_numpy():
+    import numpy as np
+
+    from lmrs_tpu.native import q4_repack
+    from lmrs_tpu.quant import q4_file_to_runtime_np
+
+    rng = np.random.default_rng(1)
+    for gs in (16, 32, 128):
+        src = rng.integers(0, 256, (32, 4 * gs // 2), dtype=np.uint8)
+        want = q4_file_to_runtime_np(src, gs)
+        got = q4_repack(src, gs).reshape(src.shape)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_native_is_faster_on_long_text():
     tok = make_toy_tokenizer()
     py = _py_fallback(tok)
