@@ -131,8 +131,15 @@ def qmatmul_pallas(x: jax.Array, w: QTensor, *,
     if t_pad != t:
         x2 = jnp.pad(x2, ((0, t_pad - t), (0, 0)))
 
-    o_tile = _pick_tile(o, 512, 128)
-    k_tile = _pick_tile(n, 4096, max(gs * 2, 256))
+    if w.qtype == QuantType.Q4_0:
+        # the float nibble-unpack materializes ~4 f32 intermediates of the
+        # whole (o_tile, k_tile/2) tile in VMEM — keep the product small
+        # enough that scoped VMEM (16M) holds them plus double buffers
+        o_tile = _pick_tile(o, 256, 128)
+        k_tile = _pick_tile(n, 2048, max(gs * 2, 256))
+    else:
+        o_tile = _pick_tile(o, 512, 128)
+        k_tile = _pick_tile(n, 4096, max(gs * 2, 256))
     n_o, n_k = o // o_tile, n // k_tile
     g_tile = k_tile // gs
 

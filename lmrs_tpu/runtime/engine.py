@@ -229,47 +229,61 @@ class Engine:
         if on_token is not None:
             on_token(tok)
 
-        while (len(out) < gen.max_new_tokens and tok not in stop
-               and self.pos + 1 < self.cfg.seq_len):
-            # always dispatch full-size chunks (variable tail sizes would
-            # each trigger a fresh XLA compile); overshoot tokens are
-            # discarded and their cache rows are dead
+        # Chunked decode with dispatch/fetch overlap: chunk i+1 is enqueued
+        # BEFORE chunk i's tokens are fetched to the host, so the device
+        # never idles on the host↔device round trip.  The chaining token
+        # stays a device scalar between chunks.  If a stop token lands
+        # mid-chunk the speculative next chunk is discarded — its cache rows
+        # sit beyond `pos`, where the causal mask (t <= q_pos) hides them
+        # until they are overwritten.
+        tok_dev = jnp.int32(tok)
+        stopped = tok in stop
+        pending = None  # (toks_device, n, pos_before)
+        while not stopped:
             n = self.decode_chunk
-            if self.pos + n >= self.cfg.seq_len:
-                n = 1
-            if n <= 1:
-                logits = self.decode_step(tok)
-                key, sub = jax.random.split(key)
-                tok = int(self._sample(logits, gen, sub))
-                out.append(tok)
-                if on_token is not None:
-                    on_token(tok)
-                continue
+            if self.pos + (pending[1] if pending else 0) + n >= self.cfg.seq_len:
+                break
+            budget = gen.max_new_tokens - len(out) - (pending[1] if pending else 0)
+            if budget <= 0:
+                break
             key, sub = jax.random.split(key)
-            attn_len = self._attn_bucket(self.pos + n)
+            pos_before = self.pos + (pending[1] if pending else 0)
+            attn_len = self._attn_bucket(pos_before + n)
             toks, self.cache = self._decode_chunk(
-                self.params, self.cache, jnp.int32(tok), jnp.int32(self.pos),
+                self.params, self.cache, tok_dev, jnp.int32(pos_before),
                 sub, n_steps=n, attn_len=attn_len,
                 temperature=gen.temperature, top_p=gen.top_p)
-            toks = np.asarray(toks)
-            # advance only to the stop token (or the max_new_tokens budget)
-            # if generation ends mid-chunk; cache rows written past that are
-            # dead and get overwritten later
-            used = min(n, gen.max_new_tokens - len(out))
-            for i, t in enumerate(toks[:used]):
-                if int(t) in stop:
-                    used = i + 1
-                    break
-            self.pos += used
-            tok = int(toks[used - 1])
-            for t in toks[:used]:
-                out.append(int(t))
-                if on_token is not None:
-                    on_token(int(t))
+            tok_dev = toks[-1]
+            if pending is not None:
+                stopped = self._drain_chunk(pending, gen, stop, out, on_token)
+            pending = (toks, n, pos_before)
+        if pending is not None and not stopped:
+            self._drain_chunk(pending, gen, stop, out, on_token)
 
         self.metrics.decode_tokens += len(out)
         self.metrics.decode_seconds += time.perf_counter() - t_decode0
         return out
+
+    def _drain_chunk(self, pending, gen: GenerationConfig, stop,
+                     out: List[int], on_token) -> bool:
+        """Fetch a finished chunk's tokens, append the used part, advance
+        `pos`.  Returns True if generation should stop (stop token hit or
+        budget exhausted)."""
+        toks, n, pos_before = pending
+        arr = np.asarray(toks)
+        used = min(n, gen.max_new_tokens - len(out))
+        hit_stop = False
+        for i, t in enumerate(arr[:used]):
+            if int(t) in stop:
+                used = i + 1
+                hit_stop = True
+                break
+        self.pos = pos_before + used
+        for t in arr[:used]:
+            out.append(int(t))
+            if on_token is not None:
+                on_token(int(t))
+        return hit_stop or len(out) >= gen.max_new_tokens
 
     # ------------------------------------------------------------------
     # Session persistence — the reference has none (its KV cache and `pos`
