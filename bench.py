@@ -77,11 +77,20 @@ def main():
     log(f"devices: {jax.devices()}")
     t0 = time.time()
     f = read_lmrs(model_path)
+    # the .lmrs header has no runtime knobs: carry the requested matmul
+    # implementation into the runtime config (f.cfg alone would silently
+    # run the slow integer-exact parity path)
+    f.cfg = f.cfg.replace(matmul_impl=impl)
     layout = os.environ.get("LMRS_BENCH_LAYOUT", "unrolled")
     params = params_from_lmrs(f, stack_layers=(layout != "unrolled"),
                               fuse_qkv=(layout == "unrolled"))
     jax.block_until_ready(jax.tree_util.tree_leaves(params))
     log(f"load+transfer: {time.time() - t0:.1f}s")
+
+    batch = int(os.environ.get("LMRS_BENCH_BATCH", "0"))
+    if batch > 0:
+        return bench_batched(f.cfg, params, config_name, quant_name, batch,
+                             n_tokens, n_prompt)
 
     decode_chunk = int(os.environ.get("LMRS_BENCH_CHUNK", "32"))
     eng = Engine(f.cfg, params, cache_dtype=jnp.bfloat16,
@@ -90,10 +99,11 @@ def main():
     prompt = list(np.random.default_rng(0).integers(
         3, cfg.vocab_size - 1, size=n_prompt))
 
-    # warmup: compiles prefill + decode-chunk programs
+    # warmup: run the FULL generation length once so every attn-len bucket
+    # program the timed run will touch is compiled (a mid-run bucket jump
+    # would otherwise count a recompile as decode time)
     t0 = time.time()
-    warm = eng.generate(prompt, GenerationConfig(temperature=0.0,
-                                                 max_new_tokens=decode_chunk + 1))
+    warm = eng.generate(prompt, gen)
     log(f"warmup (compile): {time.time() - t0:.1f}s, {len(warm)} tokens")
 
     # timed run
@@ -123,6 +133,55 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+def bench_batched(cfg, params, config_name, quant_name, batch, n_tokens,
+                  n_prompt):
+    """Continuous-batching aggregate throughput: `batch` concurrent
+    fixed-length generations through the scheduler."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lmrs_tpu.serve.scheduler import BatchScheduler
+
+    sched = BatchScheduler(cfg, params, max_batch=batch,
+                           max_ctx=min(2048, cfg.seq_len),
+                           cache_dtype=jnp.bfloat16, decode_chunk=16,
+                           temperature=0.0)
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(3, cfg.vocab_size - 1, size=n_prompt))
+               for _ in range(batch)]
+
+    # warmup (compiles prefill + batched chunk programs at all buckets)
+    for p in prompts:
+        sched.submit(p, max_new_tokens=n_tokens)
+    t0 = time.time()
+    sched.run()
+    log(f"warmup (compile): {time.time() - t0:.1f}s")
+
+    sched.tokens_emitted, sched.decode_seconds = 0, 0.0
+    done = []
+    t0 = time.perf_counter()
+    for p in prompts:
+        sched.submit(p, max_new_tokens=n_tokens,
+                     on_done=lambda out: done.append(len(out)))
+    sched.run()
+    wall = time.perf_counter() - t0
+    total = sum(done)
+    toks = total / wall
+    log(f"batched: {len(done)} seqs, {total} tokens in {wall:.2f}s")
+
+    baseline = BASELINES.get((config_name, quant_name))
+    print(json.dumps({
+        "metric": f"{config_name} {quant_name.upper()} batched({batch}) "
+                  "aggregate decode tok/s/chip",
+        "value": round(toks, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(toks / baseline, 2) if baseline else None,
+        "extra": {"batch": batch, "per_seq_tok_s": round(toks / batch, 2)},
+    }))
 
 
 if __name__ == "__main__":

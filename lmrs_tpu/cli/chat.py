@@ -55,6 +55,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--cache-dtype", choices=["bfloat16", "float32"],
                    default="bfloat16")
     p.add_argument("--max-new-tokens", type=int, default=4096)
+    p.add_argument("--impl", choices=["fast", "exact"], default="fast",
+                   help="matmul path: 'fast' = fused Pallas dequant kernels"
+                        " (W8A16/W4A16); 'exact' = bit-parity with lm.rs "
+                        "(integer dots + activation re-quantization)")
     return p
 
 
@@ -76,6 +80,8 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     tokenizer = Tokenizer.from_file(args.tokenizer)
     f = read_lmrs(args.model)
+    # the .lmrs header carries no runtime knobs — select the matmul path
+    f.cfg = f.cfg.replace(matmul_impl=args.impl)
     cfg = f.cfg
     print(f"Model type: {cfg.model_type.name}")
     if cfg.quant.value:

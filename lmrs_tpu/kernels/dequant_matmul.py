@@ -68,10 +68,16 @@ def _q8_kernel(x_ref, w_ref, s_ref, e_ref, o_ref, acc_ref, *, n_k: int):
 
     # s_ref block is this (O,K) tile's scales, pre-gathered by the grid
     # index map: (1, O_T, G_T) — Mosaic can't lane-slice narrow windows.
-    s_rep = jnp.dot(s_ref[0], e_ref[:], preferred_element_type=jnp.float32)
-    w_f = w_ref[:].astype(jnp.float32) * s_rep          # (O_T, K_T)
+    # All dequant arithmetic runs in bf16: int8 values (≤127) are exact in
+    # bf16, the dequantized weight rounds once to bf16 (W8A16-style "fast"
+    # numerics), and bf16 halves both the VPU work and the MXU pass count
+    # vs f32.  (The MXU accumulator must be 32-bit — cast after.)
+    s_rep = jnp.dot(s_ref[0].astype(jnp.bfloat16), e_ref[:],
+                    preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+    w_bf = w_ref[:].astype(jnp.bfloat16) * s_rep        # (O_T, K_T)
     acc_ref[:] += jax.lax.dot_general(
-        w_f, x_ref[:],
+        w_bf, x_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)             # (O_T, T)
 
@@ -92,15 +98,19 @@ def _q4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, e_ref, o_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    s_rep = jnp.dot(s_ref[0], e_ref[:], preferred_element_type=jnp.float32)
+    s_rep = jnp.dot(s_ref[0].astype(jnp.bfloat16), e_ref[:],
+                    preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
     # Nibble unpack in pure float math: Mosaic's 8-bit integer vector ops
     # (shrui/subi/...) fail to legalize at many tile shapes, so bitcast the
-    # bytes to int8 (same width), convert to f32, and split arithmetically:
+    # bytes to int8 (same width), convert to float, and split arithmetically:
     #   v  = byte as signed int8 (= u - 256 when u >= 128)
     #   h0 = floor(v/16); lo = v - 16*h0   (== u & 0xF, exact for negatives)
     #   hi = h0 + 16 if v < 0 else h0      (== u >> 4)
-    vf = pltpu.bitcast(w_ref[:], jnp.int8).astype(jnp.float32)
-    h0 = jnp.floor(vf * 0.0625)
+    # bf16 is exact here: every intermediate is an integer in [-128, 240]
+    # and bf16 represents integers up to 256 exactly; v/16 scales by 2^-4.
+    vf = pltpu.bitcast(w_ref[:], jnp.int8).astype(jnp.bfloat16)
+    h0 = jnp.floor(vf * jnp.bfloat16(0.0625))
     lo = ((vf - h0 * 16.0) - 8.0) * s_rep
     hi = (jnp.where(vf < 0, h0 + 16.0, h0) - 8.0) * s_rep
     acc_ref[:] += (
@@ -125,17 +135,18 @@ def qmatmul_pallas(x: jax.Array, w: QTensor, *,
     n = x.shape[-1]
     o = w.out_features
     gs = w.group_size
-    x2 = x.reshape(-1, n).astype(jnp.float32)
+    # bf16 activations: min bf16 sublane tile is 16, so pad T to 16
+    x2 = x.reshape(-1, n).astype(jnp.bfloat16)
     t = x2.shape[0]
-    t_pad = max(8, 1 << (t - 1).bit_length())
+    t_pad = max(16, 1 << (t - 1).bit_length())
     if t_pad != t:
         x2 = jnp.pad(x2, ((0, t_pad - t), (0, 0)))
 
     if w.qtype == QuantType.Q4_0:
-        # the float nibble-unpack materializes ~4 f32 intermediates of the
+        # the nibble-unpack materializes a few bf16 intermediates of the
         # whole (o_tile, k_tile/2) tile in VMEM — keep the product small
         # enough that scoped VMEM (16M) holds them plus double buffers
-        o_tile = _pick_tile(o, 256, 128)
+        o_tile = _pick_tile(o, 512, 128)
         k_tile = _pick_tile(n, 2048, max(gs * 2, 256))
     else:
         o_tile = _pick_tile(o, 512, 128)
@@ -148,7 +159,7 @@ def qmatmul_pallas(x: jax.Array, w: QTensor, *,
     s_tiled = w.s.reshape(o, n_k, g_tile).transpose(1, 0, 2)
 
     if w.qtype == QuantType.Q8_0:
-        e = jnp.asarray(_expansion_matrix(g_tile, k_tile))
+        e = jnp.asarray(_expansion_matrix(g_tile, k_tile), jnp.bfloat16)
         grid = (n_o, n_k)
         out = pl.pallas_call(
             functools.partial(_q8_kernel, n_k=n_k),
@@ -177,7 +188,7 @@ def qmatmul_pallas(x: jax.Array, w: QTensor, *,
         xg = x2.reshape(t_pad, n // gs, gs)
         x_lo = xg[:, :, :half].reshape(t_pad, n // 2)
         x_hi = xg[:, :, half:].reshape(t_pad, n // 2)
-        e = jnp.asarray(_expansion_matrix(g_tile, k_tile // 2))
+        e = jnp.asarray(_expansion_matrix(g_tile, k_tile // 2), jnp.bfloat16)
         grid = (n_o, n_k)
         out = pl.pallas_call(
             functools.partial(_q4_kernel, n_k=n_k),

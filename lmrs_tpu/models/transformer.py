@@ -296,6 +296,125 @@ def forward(
     return logits, new_cache
 
 
+def forward_batched(
+    params: TransformerParams,
+    cfg: ModelConfig,
+    cache: KVCache,          # arrays shaped (B, L, S, KH, head_dim)
+    x: jax.Array,            # (B, D) — one decode token per slot
+    pos: jax.Array,          # (B,) int32 — per-slot absolute positions
+    attn_len: int,           # static cache prefix length (shared bucket)
+) -> Tuple[jax.Array, KVCache]:
+    """One decode step for a BATCH of independent sequences.
+
+    The TPU-native continuous-batching step: all matmuls run on the stacked
+    (B, D) activations so the quantized weights stream from HBM ONCE per
+    step regardless of batch size (the MXU is happier with B>1 rows too);
+    only attention and the KV-cache update — the genuinely per-sequence
+    state — are vmapped over slots.  This is the piece the reference lacks
+    entirely (it instantiates a whole model per connection,
+    reference: src/bin/backend.rs:88-110).
+
+    Returns (logits (B, V) f32, updated cache).
+    """
+    from lmrs_tpu.ops.attention import attention
+
+    b = x.shape[0]
+    is_gemma = cfg.model_type == ModelType.GEMMA
+    # per-slot rope rows
+    cos = params.rope_cos[pos]            # (B, hd/2)
+    sin = params.rope_sin[pos]
+
+    layers = params.layers
+    unrolled = isinstance(layers, (list, tuple))
+    n_layers = len(layers) if unrolled else cfg.n_layers
+
+    def attn_one(q, k_layer, v_layer, p):
+        # q (1, H, hd); k/v_layer (S, KH, hd) slot cache slices
+        return attention(q, k_layer[:attn_len], v_layer[:attn_len], p,
+                         scale=cfg.attn_scale,
+                         softcap=cfg.attn_logit_softcap,
+                         window=cfg.sliding_window)
+
+    k_c, v_c = cache.k, cache.v
+
+    def one_layer(x, lw, l, k_c, v_c):
+        xb = rmsnorm(x, lw.att_norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+        if lw.wqkv is not None:
+            qkv = qmatmul(xb, lw.wqkv, cfg.matmul_impl)
+            q = qkv[:, : cfg.att_dim]
+            k = qkv[:, cfg.att_dim: cfg.att_dim + cfg.kv_dim]
+            v = qkv[:, cfg.att_dim + cfg.kv_dim:]
+        else:
+            q = qmatmul(xb, lw.wq, cfg.matmul_impl)
+            k = qmatmul(xb, lw.wk, cfg.matmul_impl)
+            v = qmatmul(xb, lw.wv, cfg.matmul_impl)
+        q = q.reshape(b, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(b, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(b, cfg.n_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        def upd(c_b, val_b, p_b):
+            # c_b (L, S, KH, hd); val_b (KH, hd) — one token at (l, p_b)
+            return jax.lax.dynamic_update_slice(
+                c_b, val_b[None, None].astype(c_b.dtype), (l, p_b, 0, 0))
+
+        k_c = jax.vmap(upd)(k_c, k, pos)
+        v_c = jax.vmap(upd)(v_c, v, pos)
+
+        att = jax.vmap(
+            lambda q_b, kl, vl, p_b: attn_one(q_b[None], kl[l], vl[l], p_b)[0]
+        )(q, k_c, v_c, pos)
+
+        o = qmatmul(att.reshape(b, cfg.att_dim), lw.wo, cfg.matmul_impl)
+        if is_gemma:
+            h = rmsnorm(o, lw.post_att_norm, cfg.rms_norm_eps, True)
+            x = x + h
+            xb2 = rmsnorm(x, lw.pre_ffn_norm, cfg.rms_norm_eps, True)
+        else:
+            x = x + o
+            xb2 = rmsnorm(x, lw.post_att_norm, cfg.rms_norm_eps, False)
+        if lw.w13 is not None:
+            gu = qmatmul(xb2, lw.w13, cfg.matmul_impl)
+            gate, up = gu[:, : cfg.hidden_dim], gu[:, cfg.hidden_dim:]
+        else:
+            gate = qmatmul(xb2, lw.w1, cfg.matmul_impl)
+            up = qmatmul(xb2, lw.w3, cfg.matmul_impl)
+        act = (gelu_tanh(gate) if is_gemma else silu(gate)) * up
+        ff = qmatmul(act, lw.w2, cfg.matmul_impl)
+        if is_gemma:
+            x = x + rmsnorm(ff, lw.post_ffn_norm, cfg.rms_norm_eps, True)
+        else:
+            x = x + ff
+        return x, k_c, v_c
+
+    if unrolled:
+        for l, lw in enumerate(layers):
+            x, k_c, v_c = one_layer(x, lw, l, k_c, v_c)
+    else:
+        def body(carry, lw):
+            h, k_c, v_c, l = carry
+            h, k_c, v_c = one_layer(h, lw, l, k_c, v_c)
+            return (h, k_c, v_c, l + 1), None
+
+        (x, k_c, v_c, _), _ = jax.lax.scan(
+            body, (x, k_c, v_c, jnp.int32(0)), layers)
+
+    new_cache = KVCache(k=k_c, v=v_c)
+    x = rmsnorm(x, params.final_norm, cfg.rms_norm_eps,
+                cfg.norm_unit_offset)
+    cls = params.embed if cfg.tied_lm_head else params.lm_head
+    logits = qmatmul(x, cls, cfg.matmul_impl)
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        if cfg.parity_gemma_softcap_bug:
+            head = jnp.tanh(logits[:, : cfg.dim] / cap) * cap
+            logits = jnp.concatenate([head, logits[:, cfg.dim:]], axis=1)
+        else:
+            logits = jnp.tanh(logits / cap) * cap
+    return logits, new_cache
+
+
 def dequantize_params(params: TransformerParams) -> TransformerParams:
     """Debug helper: fully dequantized f32 copy of all weights."""
     def deq(qt):

@@ -236,29 +236,51 @@ class Engine:
         # mid-chunk the speculative next chunk is discarded — its cache rows
         # sit beyond `pos`, where the causal mask (t <= q_pos) hides them
         # until they are overwritten.
+        #
+        # Without stop tokens or a streaming callback (benchmarks, fixed-
+        # length generation) NO host read happens until the very end — every
+        # device->host fetch is a network round trip on remote-attached
+        # accelerators, and even local transfers serialize the pipeline.
+        streaming = bool(stop) or on_token is not None
+        n_chunks_max = (gen.max_new_tokens - len(out) + self.decode_chunk
+                        - 1) // self.decode_chunk + 1
+        subkeys = jax.random.split(key, n_chunks_max + 1)
+        chunk_i = 0
         tok_dev = jnp.int32(tok)
         stopped = tok in stop
         pending = None  # (toks_device, n, pos_before)
+        done_chunks = []  # non-streaming: fetched at the end
         while not stopped:
             n = self.decode_chunk
             if self.pos + (pending[1] if pending else 0) + n >= self.cfg.seq_len:
                 break
-            budget = gen.max_new_tokens - len(out) - (pending[1] if pending else 0)
+            budget = gen.max_new_tokens - len(out) - (pending[1] if pending else 0) \
+                - sum(c[1] for c in done_chunks)
             if budget <= 0:
                 break
-            key, sub = jax.random.split(key)
-            pos_before = self.pos + (pending[1] if pending else 0)
+            pos_before = self.pos + (pending[1] if pending else 0) \
+                + sum(c[1] for c in done_chunks)
             attn_len = self._attn_bucket(pos_before + n)
             toks, self.cache = self._decode_chunk(
                 self.params, self.cache, tok_dev, jnp.int32(pos_before),
-                sub, n_steps=n, attn_len=attn_len,
+                subkeys[chunk_i], n_steps=n, attn_len=attn_len,
                 temperature=gen.temperature, top_p=gen.top_p)
+            chunk_i += 1
             tok_dev = toks[-1]
-            if pending is not None:
-                stopped = self._drain_chunk(pending, gen, stop, out, on_token)
-            pending = (toks, n, pos_before)
-        if pending is not None and not stopped:
-            self._drain_chunk(pending, gen, stop, out, on_token)
+            if streaming:
+                if pending is not None:
+                    stopped = self._drain_chunk(pending, gen, stop, out,
+                                                on_token)
+                pending = (toks, n, pos_before)
+            else:
+                toks.copy_to_host_async()
+                done_chunks.append((toks, n, pos_before))
+        if streaming:
+            if pending is not None and not stopped:
+                self._drain_chunk(pending, gen, stop, out, on_token)
+        else:
+            for c in done_chunks:
+                self._drain_chunk(c, gen, stop, out, on_token)
 
         self.metrics.decode_tokens += len(out)
         self.metrics.decode_seconds += time.perf_counter() - t_decode0

@@ -52,7 +52,8 @@ class BackendServer:
                  temperature: float = 0.7, top_p: float = 0.9,
                  seed: Optional[int] = None, multimodal: bool = False,
                  num_crops: int = 1, cache_dtype: str = "bfloat16",
-                 max_new_tokens: Optional[int] = None):
+                 max_new_tokens: Optional[int] = None, batch: int = 0,
+                 max_ctx: Optional[int] = None, matmul_impl: str = "fast"):
         import jax.numpy as jnp
 
         from lmrs_tpu.io.lmrs import read_lmrs
@@ -61,6 +62,9 @@ class BackendServer:
 
         self.tokenizer = Tokenizer.from_file(tokenizer_path)
         self.file = read_lmrs(model_path)
+        # serving default is the fast fused-kernel path; the .lmrs header
+        # carries no runtime knobs
+        self.file.cfg = self.file.cfg.replace(matmul_impl=matmul_impl)
         self.cfg = self.file.cfg
         self.params = params_from_lmrs(self.file)
         self.cache_dtype = (jnp.bfloat16 if cache_dtype == "bfloat16"
@@ -75,6 +79,19 @@ class BackendServer:
             raise ValueError("Current model doesn't support multimodality.")
         # single accelerator: one generation at a time
         self.gpu_lock = asyncio.Lock()
+        # batch>0: continuous batching — connections share one scheduler
+        # and decode concurrently instead of serializing on gpu_lock
+        self.scheduler = None
+        if batch > 0:
+            from lmrs_tpu.serve.scheduler import (BatchScheduler,
+                                                  SchedulerThread)
+
+            sched = BatchScheduler(
+                self.cfg, self.params, max_batch=batch,
+                max_ctx=max_ctx, cache_dtype=self.cache_dtype,
+                temperature=temperature, top_p=top_p,
+                seed=seed if seed is not None else 0)
+            self.scheduler = SchedulerThread(sched)
 
     def _new_engine(self):
         from lmrs_tpu.runtime.engine import Engine
@@ -86,6 +103,9 @@ class BackendServer:
         """One connection = one conversation (engine + growing pos)."""
         from lmrs_tpu.runtime.engine import GenerationConfig
         from lmrs_tpu.tokenizer import EXTRA_STOP_TOKENS, StreamDecoder
+
+        if self.scheduler is not None:
+            return await self.handle_batched(ws)
 
         engine = self._new_engine()
         image_turn = False
@@ -171,6 +191,136 @@ class BackendServer:
             await ws.send(_response("OUTPUT", "<eos>"))
             print("Done!\n")
 
+    async def handle_batched(self, ws):
+        """Continuous-batching connection handler: the conversation leases
+        one scheduler slot; turns decode concurrently with other
+        connections (the reference serializes — one whole model per
+        connection, src/bin/backend.rs:88-110)."""
+        from lmrs_tpu.tokenizer import EXTRA_STOP_TOKENS, StreamDecoder
+
+        sched = self.scheduler.sched
+        lease = self.scheduler.call(sched.new_conversation)
+        if lease is None:
+            await ws.send(_response(
+                "STATUS", "Server at capacity — try again later"))
+            return
+
+        stop_tokens = {self.tokenizer.eos,
+                       *EXTRA_STOP_TOKENS.get(self.cfg.model_type, ())}
+        first_turn = True
+        image_turn = False
+        if self.multimodal:
+            await ws.send(_response("FEATURE", "multimodal"))
+
+        try:
+            async for raw in ws:
+                try:
+                    msg = json.loads(raw)
+                    text = msg["text"]
+                except (ValueError, KeyError, TypeError) as e:
+                    print(f"Error parsing message: {e}")
+                    continue
+
+                if self.multimodal and msg.get("image"):
+                    image_turn = await self._ingest_image_batched(
+                        ws, lease, msg["image"])
+
+                prompt_tokens: List[int] = []
+                if self.cfg.model_type == ModelType.LLAMA and first_turn:
+                    prompt_tokens.extend(LLAMA_SYSTEM_PREFIX)
+                    today = datetime.date.today().strftime("%d %b %Y")
+                    prompt_tokens.extend(self.tokenizer.encode(today))
+                    prompt_tokens.extend(LLAMA_SYSTEM_SUFFIX)
+                first_turn = False
+
+                if image_turn:
+                    prompt_tokens.extend(self.tokenizer.encode(text.strip()))
+                    prompt_tokens.extend(PHI_TURN_SUFFIX)
+                    image_turn = False
+                else:
+                    prompt_tokens.extend(self.tokenizer.encode(
+                        text.strip(), chat_format=True,
+                        model_type=self.cfg.model_type))
+
+                pos = sched.slots[lease.slot_idx].pos
+                if pos + len(prompt_tokens) + 1 >= sched.S:
+                    await ws.send(_response(
+                        "STATUS",
+                        "Context window full — start a new session"))
+                    await ws.send(_response("OUTPUT", "<eos>"))
+                    continue
+
+                decoder = StreamDecoder(self.tokenizer)
+                loop = asyncio.get_running_loop()
+                queue: asyncio.Queue = asyncio.Queue()
+                done_ev = asyncio.Event()
+
+                def on_token(tok: int):
+                    if tok not in stop_tokens:
+                        piece = decoder.push(tok)
+                        if piece:
+                            loop.call_soon_threadsafe(queue.put_nowait,
+                                                      piece)
+
+                def on_done(out):
+                    loop.call_soon_threadsafe(done_ev.set)
+
+                self.scheduler.submit(
+                    prompt_tokens, max_new_tokens=self.max_new_tokens,
+                    stop_tokens=stop_tokens, on_token=on_token,
+                    on_done=on_done, lease=lease)
+
+                wait = asyncio.ensure_future(done_ev.wait())
+                while True:
+                    get = asyncio.ensure_future(queue.get())
+                    done, _ = await asyncio.wait(
+                        {get, wait}, return_when=asyncio.FIRST_COMPLETED)
+                    if get in done:
+                        await ws.send(_response("OUTPUT", get.result()))
+                    else:
+                        get.cancel()
+                        break
+                while not queue.empty():
+                    await ws.send(_response("OUTPUT", queue.get_nowait()))
+                tail = decoder.flush()
+                if tail:
+                    await ws.send(_response("OUTPUT", tail))
+                await ws.send(_response("OUTPUT", "<eos>"))
+        finally:
+            self.scheduler.call(lambda: sched.end_conversation(lease))
+
+    async def _ingest_image_batched(self, ws, lease, image_b64: str) -> bool:
+        import io as _io
+
+        from PIL import Image
+
+        from lmrs_tpu.models.phi3v import encode_image_to_embeds
+
+        await ws.send(_response("STATUS", "Preprocessing the image"))
+        img_bytes = base64.b64decode(image_b64)
+        img = Image.open(_io.BytesIO(img_bytes)).convert("RGB")
+        tmp2 = _io.BytesIO()
+        img.save(tmp2, format="PNG")
+        await ws.send(_response("STATUS", "Encoding the image"))
+        loop = asyncio.get_running_loop()
+        sched = self.scheduler.sched
+
+        def encode_and_fill():
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".png") as f:
+                f.write(tmp2.getvalue())
+                f.flush()
+                embeds = encode_image_to_embeds(self.file, self.params,
+                                                self.cfg, f.name,
+                                                self.num_crops)
+            sched.prefill_embeds(lease, embeds)
+
+        await loop.run_in_executor(
+            None, lambda: self.scheduler.call(encode_and_fill))
+        await ws.send(_response("STATUS", "Filling KV cache"))
+        return True
+
     async def _ingest_image(self, ws, engine, image_b64: str) -> bool:
         import numpy as np
         from PIL import Image
@@ -225,11 +375,18 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--multimodal", action="store_true")
     p.add_argument("--num-crops", dest="num_crops", type=int, default=1)
+    p.add_argument("--batch", type=int, default=0,
+                   help="continuous-batching slots (0 = per-connection "
+                        "engine like the reference)")
+    p.add_argument("--max-ctx", dest="max_ctx", type=int, default=None,
+                   help="per-slot context length in batch mode")
+    p.add_argument("--impl", choices=["fast", "exact"], default="fast")
     args = p.parse_args(argv)
 
     server = BackendServer(args.model, args.tokenizer, args.temperature,
                            args.top_p, args.seed, args.multimodal,
-                           args.num_crops)
+                           args.num_crops, batch=args.batch,
+                           max_ctx=args.max_ctx, matmul_impl=args.impl)
     try:
         asyncio.run(server.serve(args.ip, args.port))
     except KeyboardInterrupt:

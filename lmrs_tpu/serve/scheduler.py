@@ -1,0 +1,417 @@
+"""Continuous-batching scheduler: multi-request serving over ONE model.
+
+The reference's serving story is one model instance and one generation
+stream per WebSocket connection (reference: src/bin/backend.rs:88-110) —
+concurrency multiplies memory and divides throughput.  On TPU the decode
+step is HBM-bandwidth-bound on the weights, so a batch of B requests costs
+nearly the same per step as one: the scheduler keeps a slot-based batched
+KV cache, admits requests between decode chunks (continuous batching),
+emits tokens per slot, and evicts finished sequences.
+
+Design:
+* All matmuls run on stacked (B, D) activations (weights stream once per
+  step) — see models.transformer.forward_batched; only attention and the
+  cache update are vmapped per slot.
+* Prefill is per-slot (prompts have ragged lengths): the slot's cache is
+  sliced out, run through the normal chunked forward, and written back.
+* Decode runs in fused chunks of `decode_chunk` steps (one dispatch per
+  chunk); admission happens between chunks.  A freed slot's stale cache
+  rows sit beyond the new sequence's `pos` and are causally masked.
+* Sampling temperature/top_p are scheduler-wide (static under jit);
+  max_new_tokens and stop tokens are per-request host state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import threading
+import time
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmrs_tpu.config import ModelConfig
+from lmrs_tpu.models.transformer import (KVCache, TransformerParams,
+                                         embed_tokens, forward,
+                                         forward_batched)
+from lmrs_tpu.ops.sampling import (sample_argmax, sample_multinomial,
+                                   sample_topp)
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: List[int]
+    max_new_tokens: int = 256
+    stop_tokens: frozenset = frozenset()
+    on_token: Optional[Callable[[int], None]] = None
+    on_done: Optional[Callable[[List[int]], None]] = None
+    # filled by the scheduler
+    id: int = -1
+    out: List[int] = dataclasses.field(default_factory=list)
+    submit_time: float = 0.0
+    ttft: Optional[float] = None
+    lease: Optional["Lease"] = None
+
+
+@dataclasses.dataclass
+class _Slot:
+    req: Optional[Request] = None
+    pos: int = 0
+    lease: Optional["Lease"] = None
+
+
+@dataclasses.dataclass
+class Lease:
+    """Pins one cache slot to a conversation across turns: the KV prefix
+    (system prompt, chat history, image embeddings) stays resident and each
+    turn continues from `pos` — the batched equivalent of the reference's
+    per-connection growing position (reference: src/bin/backend.rs:215)."""
+
+    slot_idx: int
+    released: bool = False
+
+
+class BatchScheduler:
+    """Slot-based continuous batching over a shared parameter set."""
+
+    def __init__(self, cfg: ModelConfig, params: TransformerParams,
+                 max_batch: int = 8, max_ctx: Optional[int] = None,
+                 cache_dtype=jnp.bfloat16, prefill_chunk: int = 64,
+                 decode_chunk: int = 8, min_attn_bucket: int = 256,
+                 temperature: float = 0.0, top_p: float = 0.9,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.params = params
+        self.B = max_batch
+        self.S = min(max_ctx or cfg.seq_len, cfg.seq_len)
+        self.prefill_chunk = prefill_chunk
+        self.decode_chunk = decode_chunk
+        self.min_attn_bucket = min(min_attn_bucket, self.S)
+        self.temperature = temperature
+        self.top_p = top_p
+        shape = (self.B, cfg.n_layers, self.S, cfg.n_kv_heads, cfg.head_dim)
+        self.cache = KVCache(k=jnp.zeros(shape, cache_dtype),
+                             v=jnp.zeros(shape, cache_dtype))
+        self.slots = [_Slot() for _ in range(self.B)]
+        self.waiting: List[Request] = []
+        self._ids = itertools.count()
+        self._lock = threading.Lock()
+        self.key = jax.random.PRNGKey(seed)
+        self.tokens_emitted = 0
+        self.decode_seconds = 0.0
+
+        @partial(jax.jit,
+                 static_argnames=("attn_len", "want_logits"),
+                 donate_argnames=("k", "v"))
+        def _prefill_slot(params, k, v, x, slot, pos, logit_idx, attn_len,
+                          want_logits):
+            kc = jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0)[0]
+            vc = jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0)[0]
+            logits, new = forward(params, cfg, KVCache(kc, vc), x, pos,
+                                  attn_len,
+                                  logit_idx if want_logits else None)
+            k = jax.lax.dynamic_update_slice_in_dim(k, new.k[None], slot, 0)
+            v = jax.lax.dynamic_update_slice_in_dim(v, new.v[None], slot, 0)
+            return logits, k, v
+
+        self._prefill_slot = _prefill_slot
+
+        @partial(jax.jit,
+                 static_argnames=("n_steps", "attn_len", "temperature",
+                                  "top_p"),
+                 donate_argnames=("k", "v"))
+        def _decode_chunk_b(params, k, v, tokens, pos, key, n_steps,
+                            attn_len, temperature, top_p):
+            def step(carry, _):
+                toks, p, k, v, key = carry
+                x = embed_tokens(params, cfg, toks)
+                logits, cache = forward_batched(
+                    params, cfg, KVCache(k, v), x, p, attn_len)
+                key, sub = jax.random.split(key)
+                if temperature == 0.0:
+                    nxt = sample_argmax(logits)
+                elif top_p <= 0.0 or top_p >= 1.0:
+                    nxt = sample_multinomial(logits, temperature, sub)
+                else:
+                    nxt = sample_topp(logits, temperature, top_p, sub)
+                return (nxt, p + 1, cache.k, cache.v, key), nxt
+
+            (toks, pos, k, v, key), all_toks = jax.lax.scan(
+                step, (tokens, pos, k, v, key), length=n_steps)
+            return all_toks, k, v
+
+        self._decode_chunk_b = _decode_chunk_b
+        self._embed = jax.jit(partial(embed_tokens, cfg=cfg))
+
+    # ------------------------------------------------------------------
+    def submit(self, prompt: Sequence[int], max_new_tokens: int = 256,
+               stop_tokens: Sequence[int] = (),
+               on_token: Optional[Callable[[int], None]] = None,
+               on_done: Optional[Callable[[List[int]], None]] = None,
+               lease: Optional[Lease] = None,
+               ) -> Request:
+        base = 0 if lease is None else self.slots[lease.slot_idx].pos
+        if base + len(prompt) + 1 > self.S:
+            raise ValueError(f"prompt of {len(prompt)} at pos {base} exceeds"
+                             f" max context {self.S}")
+        req = Request(prompt=list(prompt), max_new_tokens=max_new_tokens,
+                      stop_tokens=frozenset(int(t) for t in stop_tokens),
+                      on_token=on_token, on_done=on_done,
+                      id=next(self._ids), submit_time=time.perf_counter())
+        req.lease = lease
+        with self._lock:
+            self.waiting.append(req)
+        return req
+
+    # -- conversation leases (multi-turn KV residency) -------------------
+    def new_conversation(self) -> Optional[Lease]:
+        """Reserve a free slot for a conversation; None if all leased."""
+        with self._lock:
+            for i, s in enumerate(self.slots):
+                if s.lease is None and s.req is None:
+                    lease = Lease(slot_idx=i)
+                    s.lease = lease
+                    s.pos = 0
+                    return lease
+        return None
+
+    def end_conversation(self, lease: Lease):
+        lease.released = True
+        slot = self.slots[lease.slot_idx]
+        with self._lock:
+            if slot.lease is lease:
+                slot.lease = None
+                if slot.req is None:
+                    slot.pos = 0
+
+    def prefill_embeds(self, lease: Lease, embeds) -> None:
+        """Feed precomputed embeddings (multimodal image prefix) into a
+        leased conversation's cache without sampling."""
+        slot = self.slots[lease.slot_idx]
+        slot.pos = self._run_prefill(lease.slot_idx, jnp.asarray(embeds),
+                                     slot.pos, want_logits=False)[1]
+
+    @property
+    def active(self) -> int:
+        return sum(1 for s in self.slots if s.req is not None)
+
+    def has_work(self) -> bool:
+        return self.active > 0 or bool(self.waiting)
+
+    # ------------------------------------------------------------------
+    def _bucket(self, needed: int) -> int:
+        b = self.min_attn_bucket
+        while b < needed and b < self.S:
+            b *= 2
+        return min(b, self.S)
+
+    def _admit(self):
+        with self._lock:
+            pending = list(self.waiting)
+        for req in pending:
+            if req.lease is not None:
+                slot_idx = req.lease.slot_idx
+                slot = self.slots[slot_idx]
+                if slot.req is not None:
+                    continue  # previous turn still decoding
+            else:
+                free = [i for i, s in enumerate(self.slots)
+                        if s.req is None and s.lease is None]
+                if not free:
+                    continue
+                slot_idx = free[0]
+                slot = self.slots[slot_idx]
+                slot.pos = 0
+            with self._lock:
+                if req not in self.waiting:
+                    continue
+                self.waiting.remove(req)
+            self._prefill_into(slot_idx, slot, req)
+
+    def _run_prefill(self, slot_idx: int, x, pos: int,
+                     want_logits: bool = True):
+        """Chunked prefill of embeddings into a slot's cache starting at
+        pos; returns (last-token logits or None, new pos)."""
+        logits = None
+        n = x.shape[0]
+        off = 0
+        while off < n:
+            chunk = min(self.prefill_chunk, n - off)
+            pad = max(8, 1 << (chunk - 1).bit_length())
+            xt = x[off:off + chunk]
+            if xt.shape[0] < pad:
+                xt = jnp.pad(xt, ((0, pad - xt.shape[0]), (0, 0)))
+            attn_len = self._bucket(pos + pad)
+            last = off + chunk >= n
+            logits, k, v = self._prefill_slot(
+                self.params, self.cache.k, self.cache.v, xt,
+                jnp.int32(slot_idx), jnp.int32(pos),
+                jnp.int32(chunk - 1), attn_len=attn_len,
+                want_logits=want_logits and last)
+            self.cache = KVCache(k, v)
+            pos += chunk
+            off += chunk
+        return logits, pos
+
+    def _prefill_into(self, slot_idx: int, slot: _Slot, req: Request):
+        x = self._embed(self.params,
+                        tokens=jnp.asarray(np.asarray(req.prompt, np.int32)))
+        logits, pos = self._run_prefill(slot_idx, x, slot.pos)
+        # first token from prefill logits (greedy/temp handled on host for
+        # the single first step)
+        self.key, sub = jax.random.split(self.key)
+        if self.temperature == 0.0:
+            first = int(sample_argmax(logits))
+        elif self.top_p <= 0.0 or self.top_p >= 1.0:
+            first = int(sample_multinomial(logits, self.temperature, sub))
+        else:
+            first = int(sample_topp(logits, self.temperature, self.top_p,
+                                    sub))
+        req.ttft = time.perf_counter() - req.submit_time
+        slot.req = req
+        slot.pos = pos
+        self._emit(slot_idx, slot, [first])
+
+    def _emit(self, slot_idx: int, slot: _Slot, toks: List[int]) -> int:
+        """Append tokens to the slot's request, stopping at stop tokens or
+        the budget.  Returns how many were consumed."""
+        req = slot.req
+        for i, t in enumerate(toks):
+            req.out.append(t)
+            self.tokens_emitted += 1
+            if req.on_token is not None:
+                req.on_token(t)
+            if t in req.stop_tokens or len(req.out) >= req.max_new_tokens:
+                self._finish(slot_idx, slot)
+                return i + 1
+        return len(toks)
+
+    def _finish(self, slot_idx: int, slot: _Slot):
+        req = slot.req
+        slot.req = None
+        if slot.lease is None or slot.lease.released:
+            slot.lease = None
+            slot.pos = 0
+        # leased slots keep pos: the conversation's KV prefix stays resident
+        if req.on_done is not None:
+            req.on_done(req.out)
+
+    # ------------------------------------------------------------------
+    def step(self):
+        """One scheduler tick: admit waiting requests, then run one decode
+        chunk for all active slots."""
+        self._admit()
+        active = [(i, s) for i, s in enumerate(self.slots)
+                  if s.req is not None]
+        if not active:
+            return
+        n = self.decode_chunk
+        # context guard: slots at their limit finish now
+        for i, s in list(active):
+            if s.pos + n >= self.S:
+                self._finish(i, s)
+        active = [(i, s) for i, s in enumerate(self.slots)
+                  if s.req is not None]
+        if not active:
+            return
+
+        tokens = np.zeros((self.B,), np.int32)
+        pos = np.zeros((self.B,), np.int32)
+        for i, s in active:
+            tokens[i] = s.req.out[-1]
+            pos[i] = s.pos
+        attn_len = self._bucket(int(pos.max()) + n)
+        self.key, sub = jax.random.split(self.key)
+        t0 = time.perf_counter()
+        toks, k, v = self._decode_chunk_b(
+            self.params, self.cache.k, self.cache.v,
+            jnp.asarray(tokens), jnp.asarray(pos), sub, n_steps=n,
+            attn_len=attn_len, temperature=self.temperature,
+            top_p=self.top_p)
+        self.cache = KVCache(k, v)
+        arr = np.asarray(toks)  # (n, B)
+        self.decode_seconds += time.perf_counter() - t0
+        for i, s in active:
+            pos_before = s.pos
+            used = self._emit(i, s, [int(t) for t in arr[:, i]])
+            # advance only past consumed tokens: on a mid-chunk stop the
+            # overshoot rows sit beyond pos and stay causally masked (a
+            # leased conversation's next turn must not see them as history)
+            if s.req is not None or s.lease is not None:
+                s.pos = pos_before + used
+
+    def run(self, poll: Optional[Callable[[], bool]] = None):
+        """Drive until no work remains (poll() False stops early)."""
+        while self.has_work():
+            self.step()
+            if poll is not None and not poll():
+                return
+
+
+class SchedulerThread:
+    """Daemon thread driving a BatchScheduler continuously.
+
+    All device-state mutation (prefill, decode, cache) happens on this one
+    thread; other threads interact through `submit` and `call` (a job queue
+    drained between decode chunks), so the scheduler itself needs no device
+    locking.
+    """
+
+    def __init__(self, sched: BatchScheduler):
+        self.sched = sched
+        self._jobs: List[Callable[[], None]] = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, *args, **kw) -> Request:
+        req = self.sched.submit(*args, **kw)
+        with self._cv:
+            self._cv.notify()
+        return req
+
+    def call(self, fn: Callable[[], object]):
+        """Run fn on the scheduler thread between chunks; returns its
+        result (blocking)."""
+        done = threading.Event()
+        box = {}
+
+        def job():
+            try:
+                box["result"] = fn()
+            except Exception as e:  # surface to caller
+                box["error"] = e
+            done.set()
+
+        with self._cv:
+            self._jobs.append(job)
+            self._cv.notify()
+        done.wait()
+        if "error" in box:
+            raise box["error"]
+        return box.get("result")
+
+    def shutdown(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=5)
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while (not self._stop and not self._jobs
+                       and not self.sched.has_work()):
+                    self._cv.wait()
+                if self._stop:
+                    return
+                jobs, self._jobs = self._jobs, []
+            for j in jobs:
+                j()
+            if self.sched.has_work():
+                self.sched.step()
