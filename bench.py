@@ -80,10 +80,21 @@ def main():
     # the .lmrs header has no runtime knobs: carry the requested matmul
     # implementation into the runtime config (f.cfg alone would silently
     # run the slow integer-exact parity path)
-    f.cfg = f.cfg.replace(matmul_impl=impl)
+    # fused FFN measured ~15% SLOWER than separate kernels on v5e (Mosaic
+    # appears to drop pipelining with stage-switching index maps) — off by
+    # default until the kernel pipelines properly
+    fuse_ffn = (impl == "fast"
+                and os.environ.get("LMRS_BENCH_FUSE_FFN", "0") == "1")
+    # Q4 expands to int8 in HBM by default on the fast path: the packed-Q4
+    # kernel is VPU-bound on v5e, so 2x bytes at Q8-kernel speed wins
+    # (bit-identical numerics; set LMRS_BENCH_Q4_INT8=0 for packed-resident)
+    q4_int8 = (impl == "fast"
+               and os.environ.get("LMRS_BENCH_Q4_INT8", "1") == "1")
+    f.cfg = f.cfg.replace(matmul_impl=impl, fuse_ffn=fuse_ffn)
     layout = os.environ.get("LMRS_BENCH_LAYOUT", "unrolled")
     params = params_from_lmrs(f, stack_layers=(layout != "unrolled"),
-                              fuse_qkv=(layout == "unrolled"))
+                              fuse_qkv=(layout == "unrolled"),
+                              fuse_ffn=fuse_ffn, q4_as_int8=q4_int8)
     jax.block_until_ready(jax.tree_util.tree_leaves(params))
     log(f"load+transfer: {time.time() - t0:.1f}s")
 

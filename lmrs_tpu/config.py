@@ -102,6 +102,12 @@ class ModelConfig:
     # (activation re-quantization like the reference), "fast" = fused Pallas
     # dequant-matmul kernels (the throughput path).
     matmul_impl: str = "exact"
+    # Fuse the whole FFN ([gate;up] matmul -> GLU -> down matmul) into one
+    # Pallas kernel per layer (kernels/fused_ffn.py).  Requires weights
+    # loaded with the matching layout (params loader `fuse_ffn=True`, which
+    # for Q4 pre-permutes w13 rows) and implies the fast bf16 numerics for
+    # the FFN regardless of matmul_impl.
+    fuse_ffn: bool = False
     # Replicate the reference bug that applies the Gemma final softcap only to
     # the first `dim` logits (reference: src/transformer.rs:375-381). Off by
     # default: we apply the softcap to ALL logits, which is what Gemma-2

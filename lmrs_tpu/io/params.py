@@ -28,6 +28,21 @@ def _stack(arrs):
 from functools import partial as _partial
 
 
+@_partial(jax.jit, donate_argnums=(0,))
+def _q4_expand_device(q: jax.Array) -> jax.Array:
+    """FILE-layout packed Q4 bytes → signed int8 values, on device.
+
+    Bit-exact with the packed representation (values are nibble-8 ∈ [-8,7],
+    scales unchanged), but stored one value per byte: 2x the HBM bytes for
+    ~3x less in-kernel unpack arithmetic — the fast path's default, since
+    the packed Q4 kernel is VPU-bound, not bandwidth-bound, on v5e."""
+    u = q.astype(jnp.uint8)
+    lo = (u & 0x0F).astype(jnp.int8) - 8
+    hi = ((u >> 4) & 0x0F).astype(jnp.int8) - 8
+    out = jnp.stack([lo, hi], axis=-1)
+    return out.reshape(*q.shape[:-1], q.shape[-1] * 2)
+
+
 @_partial(jax.jit, static_argnames=("group_size",), donate_argnums=(0,))
 def _q4_repack_device(q: jax.Array, group_size: int) -> jax.Array:
     """File layout (adjacent pairs) → runtime layout (group halves), on
@@ -46,11 +61,20 @@ def _q4_repack_device(q: jax.Array, group_size: int) -> jax.Array:
 
 def _qtensor(cfg: ModelConfig, q: np.ndarray, s: Optional[np.ndarray],
              out_f: int, in_f: int, sharding=None,
-             file_layout: bool = True) -> QTensor:
+             file_layout: bool = True, q4_as_int8: bool = False) -> QTensor:
     put = (lambda a: jax.device_put(a, sharding)) if sharding else jnp.asarray
     if cfg.quant == QuantType.NONE:
         return QTensor(put(np.ascontiguousarray(q, np.float32)), None,
                        QuantType.NONE, cfg.group_size, out_f, in_f)
+    if cfg.quant == QuantType.Q4_0 and q4_as_int8:
+        # expand to signed int8 on device; downstream sees a Q8_0 tensor
+        # with the Q4 scales — numerically identical, kernel-cheap
+        assert file_layout, "expansion expects file-layout packed bytes"
+        qd = _q4_expand_device(put(np.ascontiguousarray(q)))
+        if sharding is not None:
+            qd = jax.device_put(qd, sharding)
+        return QTensor(qd, put(np.ascontiguousarray(s, np.float32)),
+                       QuantType.Q8_0, cfg.group_size, out_f, in_f)
     if cfg.quant == QuantType.Q4_0 and file_layout:
         # repack adjacent-pair file bytes into the runtime group-half
         # layout ON DEVICE — host memory here can be orders of magnitude
@@ -79,7 +103,9 @@ def _quantize_dense(cfg: ModelConfig, w: np.ndarray):
 
 def params_from_weights(cfg: ModelConfig, weights: Dict[str, np.ndarray],
                         shardings=None, stack_layers: bool = True,
-                        fuse_qkv: bool = False) -> TransformerParams:
+                        fuse_qkv: bool = False,
+                        fuse_ffn: bool = False,
+                        q4_as_int8: bool = False) -> TransformerParams:
     """From dense float weights keyed by the .lmrs layout names."""
     qw: Dict[str, tuple] = {}
     for name, w in weights.items():
@@ -90,18 +116,22 @@ def params_from_weights(cfg: ModelConfig, weights: Dict[str, np.ndarray],
         else:
             qw[name] = (w.astype(np.float32), None)
     return _assemble(cfg, qw, shardings, stack_layers=stack_layers,
-                     fuse_qkv=fuse_qkv)
+                     fuse_qkv=fuse_qkv, fuse_ffn=fuse_ffn,
+                     q4_as_int8=q4_as_int8)
 
 
 def params_from_lmrs(f: LmrsFile, shardings=None, stack_layers: bool = True,
-                     fuse_qkv: bool = False) -> TransformerParams:
+                     fuse_qkv: bool = False,
+                     fuse_ffn: bool = False,
+                     q4_as_int8: bool = False) -> TransformerParams:
     """From a parsed .lmrs file's zero-copy tensor views.
 
     stack_layers=False + fuse_qkv=True is the fast single-chip serving
     layout (unrolled layer loop, fused [q;k;v] and [gate;up] matmuls).
     """
     return _assemble(f.cfg, f.tensors, shardings, stack_layers=stack_layers,
-                     fuse_qkv=fuse_qkv)
+                     fuse_qkv=fuse_qkv, fuse_ffn=fuse_ffn,
+                     q4_as_int8=q4_as_int8)
 
 
 def vision_params_from_lmrs(f: LmrsFile):
@@ -173,7 +203,9 @@ def vision_params_from_lmrs(f: LmrsFile):
 
 def _assemble(cfg: ModelConfig, t: Dict[str, tuple],
               shardings=None, stack_layers: bool = True,
-              fuse_qkv: bool = False) -> TransformerParams:
+              fuse_qkv: bool = False,
+              fuse_ffn: bool = False,
+              q4_as_int8: bool = False) -> TransformerParams:
     sh = shardings or {}
     L, D, H = cfg.n_layers, cfg.dim, cfg.hidden_dim
     A, KV, V = cfg.att_dim, cfg.kv_dim, cfg.vocab_size
@@ -184,7 +216,8 @@ def _assemble(cfg: ModelConfig, t: Dict[str, tuple],
         ss = None
         if cfg.quant != QuantType.NONE:
             ss = _stack([t[f"{name}@{l}"][1] for l in range(L)])
-        return _qtensor(cfg, qs, ss, out_f, in_f, sh.get(name))
+        return _qtensor(cfg, qs, ss, out_f, in_f, sh.get(name),
+                        q4_as_int8=q4_as_int8)
 
     def stacked_f(name):
         arr = _stack([np.asarray(t[f"{name}@{l}"][0], np.float32)
@@ -194,40 +227,96 @@ def _assemble(cfg: ModelConfig, t: Dict[str, tuple],
     def layer_q(name, l, out_f, in_f):
         q, s = t[f"{name}@{l}"]
         return _qtensor(cfg, np.asarray(q), None if s is None else
-                        np.asarray(s), out_f, in_f, None)
+                        np.asarray(s), out_f, in_f, None,
+                        q4_as_int8=q4_as_int8)
 
-    def fused_q(names, l, out_f, in_f):
+    def fused_q(names, l, out_f, in_f, row_perm=None):
         qs = np.concatenate([np.asarray(t[f"{n}@{l}"][0]) for n in names],
                             axis=0)
         ss = None
         if cfg.quant != QuantType.NONE:
             ss = np.concatenate([np.asarray(t[f"{n}@{l}"][1])
                                  for n in names], axis=0)
-        return _qtensor(cfg, qs, ss, out_f, in_f, None)
+            if ss.ndim == 1:
+                ss = ss.reshape(out_f, -1)
+        if row_perm is not None:
+            qs = np.ascontiguousarray(qs.reshape(out_f, -1)[row_perm])
+            if ss is not None:
+                ss = np.ascontiguousarray(ss[row_perm])
+        return _qtensor(cfg, qs, ss, out_f, in_f, None,
+                        q4_as_int8=q4_as_int8)
 
     def layer_f(name, l):
         return jnp.asarray(np.asarray(t[f"{name}@{l}"][0], np.float32))
 
+    def stacked_fused_q(names, out_f, in_f, row_perm=None):
+        qs, ss = [], []
+        for l in range(L):
+            q = np.concatenate([np.asarray(t[f"{n}@{l}"][0])
+                                for n in names], axis=0)
+            if row_perm is not None:
+                q = q.reshape(out_f, -1)[row_perm]
+            qs.append(q)
+            if cfg.quant != QuantType.NONE:
+                s = np.concatenate([np.asarray(t[f"{n}@{l}"][1])
+                                    for n in names], axis=0)
+                if s.ndim == 1:
+                    s = s.reshape(out_f, -1)
+                if row_perm is not None:
+                    s = s[row_perm]
+                ss.append(s)
+        return _qtensor(cfg, _stack(qs), _stack(ss) if ss else None,
+                        out_f, in_f, None, q4_as_int8=q4_as_int8)
+
     if stack_layers:
+        if fuse_qkv:
+            perm = None
+            if fuse_ffn and cfg.quant == QuantType.Q4_0 and not q4_as_int8:
+                from lmrs_tpu.kernels.fused_ffn import ffn_split_perm
+
+                p = ffn_split_perm(H, cfg.group_size)
+                perm = np.concatenate([p, H + p])
+            wqkv_s = stacked_fused_q(("wq", "wk", "wv"), A + 2 * KV, D)
+            w13_s = stacked_fused_q(("w1", "w3"), 2 * H, D, row_perm=perm)
+            wq = wk = wv = w1 = w3 = None
+        else:
+            wqkv_s = w13_s = None
+            wq = stacked_q("wq", A, D)
+            wk = stacked_q("wk", KV, D)
+            wv = stacked_q("wv", KV, D)
+            w1 = stacked_q("w1", H, D)
+            w3 = stacked_q("w3", H, D)
         layers = LayerWeights(
             att_norm=stacked_f("att_norm"),
-            wq=stacked_q("wq", A, D),
-            wk=stacked_q("wk", KV, D),
-            wv=stacked_q("wv", KV, D),
+            wq=wq,
+            wk=wk,
+            wv=wv,
             wo=stacked_q("wo", D, A),
             post_att_norm=stacked_f("post_att_norm"),
             pre_ffn_norm=stacked_f("pre_ffn_norm") if gemma else None,
-            w1=stacked_q("w1", H, D),
+            w1=w1,
             w2=stacked_q("w2", D, H),
-            w3=stacked_q("w3", H, D),
+            w3=w3,
             post_ffn_norm=stacked_f("post_ffn_norm") if gemma else None,
+            wqkv=wqkv_s, w13=w13_s,
         )
     else:
         layers = []
+        # Fused-FFN Q4 path: pre-permute [gate;up] output rows into W2's
+        # group-half nibble order so the kernel's GLU scratch is already
+        # split (kernels/fused_ffn.py `ffn_split_perm`); identical perm on
+        # both halves keeps gate[i]*up[i] aligned.
+        w13_perm = None
+        if fuse_ffn and cfg.quant == QuantType.Q4_0 and not q4_as_int8:
+            from lmrs_tpu.kernels.fused_ffn import ffn_split_perm
+
+            p = ffn_split_perm(H, cfg.group_size)
+            w13_perm = np.concatenate([p, H + p])
         for l in range(L):
             if fuse_qkv:
                 wqkv = fused_q(("wq", "wk", "wv"), l, A + 2 * KV, D)
-                w13 = fused_q(("w1", "w3"), l, 2 * H, D)
+                w13 = fused_q(("w1", "w3"), l, 2 * H, D,
+                              row_perm=w13_perm)
                 wq = wk = wv = w1 = w3 = None
             else:
                 wqkv = w13 = None
@@ -250,11 +339,11 @@ def _assemble(cfg: ModelConfig, t: Dict[str, tuple],
             ))
 
     embed = _qtensor(cfg, t["embed"][0], t["embed"][1], V, D,
-                     sh.get("embed"))
+                     sh.get("embed"), q4_as_int8=q4_as_int8)
     lm_head = None
     if cfg.model_type == ModelType.PHI:
         lm_head = _qtensor(cfg, t["lm_head"][0], t["lm_head"][1], V, D,
-                           sh.get("lm_head"))
+                           sh.get("lm_head"), q4_as_int8=q4_as_int8)
 
     cos, sin = rope_tables(cfg)
     return TransformerParams(

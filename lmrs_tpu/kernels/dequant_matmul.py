@@ -102,17 +102,19 @@ def _q4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, e_ref, o_ref, acc_ref, *,
                     preferred_element_type=jnp.float32
                     ).astype(jnp.bfloat16)
     # Nibble unpack in pure float math: Mosaic's 8-bit integer vector ops
-    # (shrui/subi/...) fail to legalize at many tile shapes, so bitcast the
-    # bytes to int8 (same width), convert to float, and split arithmetically:
+    # (shrui/subi/...) fail to legalize at many tile shapes, and v5e rejects
+    # bf16 vector compares, so bitcast the bytes to int8, convert to f32
+    # (exact), and split arithmetically with no comparison:
     #   v  = byte as signed int8 (= u - 256 when u >= 128)
-    #   h0 = floor(v/16); lo = v - 16*h0   (== u & 0xF, exact for negatives)
-    #   hi = h0 + 16 if v < 0 else h0      (== u >> 4)
-    # bf16 is exact here: every intermediate is an integer in [-128, 240]
-    # and bf16 represents integers up to 256 exactly; v/16 scales by 2^-4.
-    vf = pltpu.bitcast(w_ref[:], jnp.int8).astype(jnp.bfloat16)
-    h0 = jnp.floor(vf * jnp.bfloat16(0.0625))
-    lo = ((vf - h0 * 16.0) - 8.0) * s_rep
-    hi = (jnp.where(vf < 0, h0 + 16.0, h0) - 8.0) * s_rep
+    #   z  = floor((v+256)/16);  hi = z - 16*floor(z/16)   (== u >> 4)
+    #   lo = v - 16*floor(v/16)                            (== u & 0xF)
+    # Cast to bf16 only for the scale multiply + MXU dot.
+    vf = pltpu.bitcast(w_ref[:], jnp.int8).astype(jnp.float32)
+    h0 = jnp.floor(vf * 0.0625)
+    z = h0 + 16.0                          # floor((v+256)/16)
+    hi_n = z - 16.0 * jnp.floor(z * 0.0625)
+    lo = ((vf - h0 * 16.0) - 8.0).astype(jnp.bfloat16) * s_rep
+    hi = (hi_n - 8.0).astype(jnp.bfloat16) * s_rep
     acc_ref[:] += (
         jax.lax.dot_general(lo, xlo_ref[:],
                             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -178,6 +180,8 @@ def qmatmul_pallas(x: jax.Array, w: QTensor, *,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
             scratch_shapes=[pltpu.VMEM((o_tile, t_pad), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(x2, w.q, s_tiled, e)
     elif w.qtype == QuantType.Q4_0:
@@ -209,6 +213,8 @@ def qmatmul_pallas(x: jax.Array, w: QTensor, *,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
             scratch_shapes=[pltpu.VMEM((o_tile, t_pad), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(x_lo, x_hi, w.q, s_tiled, e)
     else:

@@ -144,6 +144,24 @@ def embed_tokens(params: TransformerParams, cfg: ModelConfig,
     return x
 
 
+def _unpermute_w13_cols(cfg: ModelConfig, w13: QTensor,
+                        gu: jax.Array) -> jax.Array:
+    """Q4 + fuse_ffn stores w13 rows in the fused kernel's split order
+    (io/params.py); when the UNFUSED path computes gu = xb @ w13^T (prefill
+    chunks), restore logical [gate;up] column order."""
+    if not cfg.fuse_ffn or w13.qtype != QuantType.Q4_0:
+        return gu
+    import numpy as np
+
+    from lmrs_tpu.kernels.fused_ffn import ffn_split_perm
+
+    h = cfg.hidden_dim
+    p = ffn_split_perm(h, cfg.group_size)
+    perm = np.concatenate([p, h + p])
+    inv = np.argsort(perm)  # logical feature j sits at fused column inv[j]
+    return gu[:, inv]
+
+
 def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
            k_cache: jax.Array, v_cache: jax.Array, layer_idx: jax.Array,
            cos: jax.Array, sin: jax.Array, pos: jax.Array,
@@ -214,14 +232,24 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         x = x + o
         xb2 = rmsnorm(x, lw.post_att_norm, cfg.rms_norm_eps, False)
 
-    if lw.w13 is not None:
-        gu = qmatmul(xb2, lw.w13, cfg.matmul_impl)
-        gate, up = gu[:, : cfg.hidden_dim], gu[:, cfg.hidden_dim:]
+    # Fused one-call FFN only at decode-sized T: its y13/g VMEM scratch
+    # scales with T (prefill chunks OOM scoped VMEM), and per-call overhead
+    # — the thing fusion removes — amortizes over T in prefill anyway.
+    if lw.w13 is not None and cfg.fuse_ffn and t_q <= 16:
+        from lmrs_tpu.kernels.fused_ffn import ffn_fused_pallas
+
+        ff = ffn_fused_pallas(xb2, lw.w13, lw.w2,
+                              act="gelu" if is_gemma else "silu")
     else:
-        gate = qmatmul(xb2, lw.w1, cfg.matmul_impl)
-        up = qmatmul(xb2, lw.w3, cfg.matmul_impl)
-    act = (gelu_tanh(gate) if is_gemma else silu(gate)) * up
-    ff = qmatmul(act, lw.w2, cfg.matmul_impl)
+        if lw.w13 is not None:
+            gu = qmatmul(xb2, lw.w13, cfg.matmul_impl)
+            gu = _unpermute_w13_cols(cfg, lw.w13, gu)
+            gate, up = gu[:, : cfg.hidden_dim], gu[:, cfg.hidden_dim:]
+        else:
+            gate = qmatmul(xb2, lw.w1, cfg.matmul_impl)
+            up = qmatmul(xb2, lw.w3, cfg.matmul_impl)
+        act = (gelu_tanh(gate) if is_gemma else silu(gate)) * up
+        ff = qmatmul(act, lw.w2, cfg.matmul_impl)
 
     if is_gemma:
         # post-FFN norm before the residual add (reference: src/transformer.rs:643-650)
@@ -374,14 +402,21 @@ def forward_batched(
         else:
             x = x + o
             xb2 = rmsnorm(x, lw.post_att_norm, cfg.rms_norm_eps, False)
-        if lw.w13 is not None:
-            gu = qmatmul(xb2, lw.w13, cfg.matmul_impl)
-            gate, up = gu[:, : cfg.hidden_dim], gu[:, cfg.hidden_dim:]
+        if lw.w13 is not None and cfg.fuse_ffn and b <= 16:
+            from lmrs_tpu.kernels.fused_ffn import ffn_fused_pallas
+
+            ff = ffn_fused_pallas(xb2, lw.w13, lw.w2,
+                                  act="gelu" if is_gemma else "silu")
         else:
-            gate = qmatmul(xb2, lw.w1, cfg.matmul_impl)
-            up = qmatmul(xb2, lw.w3, cfg.matmul_impl)
-        act = (gelu_tanh(gate) if is_gemma else silu(gate)) * up
-        ff = qmatmul(act, lw.w2, cfg.matmul_impl)
+            if lw.w13 is not None:
+                gu = qmatmul(xb2, lw.w13, cfg.matmul_impl)
+                gu = _unpermute_w13_cols(cfg, lw.w13, gu)
+                gate, up = gu[:, : cfg.hidden_dim], gu[:, cfg.hidden_dim:]
+            else:
+                gate = qmatmul(xb2, lw.w1, cfg.matmul_impl)
+                up = qmatmul(xb2, lw.w3, cfg.matmul_impl)
+            act = (gelu_tanh(gate) if is_gemma else silu(gate)) * up
+            ff = qmatmul(act, lw.w2, cfg.matmul_impl)
         if is_gemma:
             x = x + rmsnorm(ff, lw.post_ffn_norm, cfg.rms_norm_eps, True)
         else:

@@ -38,8 +38,9 @@ def reduce_tiny(v):
 
 
 def _empty_kernel(x_ref, w_ref, o_ref):
-    # touches one element per block so the DMA isn't elided, no math
-    o_ref[0, 0] = x_ref[0, 0] + w_ref[0, 0].astype(jnp.float32)
+    # touches one row per block so the DMA isn't elided, minimal math
+    o_ref[:, :] = (x_ref[:16, :16].astype(jnp.float32)
+                   + w_ref[:16, :16].astype(jnp.float32))
 
 
 def empty_pallas(x, q):
@@ -53,9 +54,9 @@ def empty_pallas(x, q):
             pl.BlockSpec((o_tile, k_tile), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((o_tile, 16), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((16, 16), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((OUT, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((16, 16), jnp.float32),
     )(x, q)
 
 
@@ -67,7 +68,8 @@ def make_chain(kind, k):
                 y = qmatmul_pallas(x, WS[i % 8])
             elif kind == "empty":
                 xb = jnp.pad(x.astype(jnp.bfloat16), ((0, 15), (0, 0)))
-                y = empty_pallas(xb, W8[i % 8][0])[:, :1].T
+                x = x + 1e-30 * jnp.sum(empty_pallas(xb, W8[i % 8][0]))
+                continue
             elif kind == "dense":
                 y = jax.lax.dot_general(
                     x.astype(jnp.bfloat16), WB[i % 8],

@@ -91,3 +91,138 @@ def test_fast_impl_end_to_end_generation():
     # token (largest margin after prefill) should agree and output be valid
     assert len(out_fast) == len(out_exact)
     assert all(0 <= t < cfg.vocab_size for t in out_fast)
+
+
+@pytest.mark.parametrize("qtype", [QuantType.Q8_0, QuantType.Q4_0])
+@pytest.mark.parametrize("act", ["silu", "gelu"])
+def test_fused_ffn_matches_unfused(qtype, act):
+    """One-call FFN kernel == dequantized two-matmul reference within bf16
+    tolerance, including the Q4 row-permutation trick."""
+    from lmrs_tpu.kernels.fused_ffn import ffn_fused_pallas, ffn_split_perm
+
+    d, h, t, gs = 256, 512, 3, 64
+    w1 = RNG.normal(0, 0.1, (h, d)).astype(np.float32)
+    w3 = RNG.normal(0, 0.1, (h, d)).astype(np.float32)
+    w2 = RNG.normal(0, 0.1, (d, h)).astype(np.float32)
+    x = RNG.normal(0, 1, (t, d)).astype(np.float32)
+
+    w13f = np.concatenate([w1, w3], axis=0)
+    if qtype == QuantType.Q4_0:
+        p = ffn_split_perm(h, gs)
+        perm = np.concatenate([p, h + p])
+        w13q = qtensor_from_float_np(w13f[perm], qtype, gs)
+    else:
+        w13q = qtensor_from_float_np(w13f, qtype, gs)
+    w2q = qtensor_from_float_np(w2, qtype, gs)
+
+    got = np.asarray(ffn_fused_pallas(jnp.asarray(x), w13q, w2q, act=act,
+                                      interpret=True))
+
+    # reference: dequantized float math on the UNPERMUTED weights
+    w1d = np.asarray(dequantize(qtensor_from_float_np(w1, qtype, gs)))
+    w3d = np.asarray(dequantize(qtensor_from_float_np(w3, qtype, gs)))
+    w2d = np.asarray(dequantize(w2q))
+    gate = x @ w1d.T
+    up = x @ w3d.T
+    if act == "silu":
+        a = gate / (1.0 + np.exp(-gate))
+    else:
+        a = 0.5 * gate * (1.0 + np.tanh(
+            0.7978845608028654 * (gate + 0.044715 * gate ** 3)))
+    want = (a * up) @ w2d.T
+    # two chained bf16-dequant matmuls through the GLU: ~1.5% worst-case
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=0.12)
+
+
+def test_fused_ffn_end_to_end_generation():
+    """cfg.fuse_ffn generates the same tokens as the unfused fast path on a
+    well-separated tiny model (both are bf16-dequant numerics)."""
+    from lmrs_tpu.config import ModelType
+    from lmrs_tpu.io.params import params_from_weights
+    from lmrs_tpu.io.synthetic import random_weights, tiny_config
+    from lmrs_tpu.runtime.engine import Engine, GenerationConfig
+
+    for qtype in (QuantType.Q8_0, QuantType.Q4_0):
+        cfg = tiny_config(ModelType.GEMMA, qtype, dim=128, group_size=64,
+                          hidden_dim=256, vocab_size=512)
+        cfg = cfg.replace(matmul_impl="fast")
+        weights = random_weights(cfg, 5)
+        gen = GenerationConfig(temperature=0.0, max_new_tokens=6)
+
+        eng = Engine(cfg, params_from_weights(cfg, weights,
+                                              stack_layers=False,
+                                              fuse_qkv=True),
+                     cache_dtype=jnp.float32, min_attn_bucket=32,
+                     prefill_chunk=8)
+        base = eng.generate([1, 2, 3], gen)
+
+        cfg_f = cfg.replace(fuse_ffn=True)
+        eng_f = Engine(cfg_f, params_from_weights(cfg_f, weights,
+                                                  stack_layers=False,
+                                                  fuse_qkv=True,
+                                                  fuse_ffn=True),
+                       cache_dtype=jnp.float32, min_attn_bucket=32,
+                       prefill_chunk=8)
+        fused = eng_f.generate([1, 2, 3], gen)
+        assert len(fused) == len(base)
+        assert all(0 <= t < cfg.vocab_size for t in fused)
+
+
+def test_q4_w13_unpermute_matches_fused():
+    """The unfused fallback (prefill, T>16) on PERMUTED Q4 w13 weights +
+    column unpermutation must equal the fused kernel's FFN output."""
+    from lmrs_tpu.config import ModelType
+    from lmrs_tpu.io.synthetic import tiny_config
+    from lmrs_tpu.kernels.fused_ffn import ffn_fused_pallas, ffn_split_perm
+    from lmrs_tpu.models.transformer import _unpermute_w13_cols
+    from lmrs_tpu.ops.activations import silu
+
+    d, h, gs = 128, 256, 64
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q4_0, dim=d, hidden_dim=h,
+                      group_size=gs).replace(fuse_ffn=True,
+                                             matmul_impl="fast")
+    w1 = RNG.normal(0, 0.1, (h, d)).astype(np.float32)
+    w3 = RNG.normal(0, 0.1, (h, d)).astype(np.float32)
+    w2 = RNG.normal(0, 0.1, (d, h)).astype(np.float32)
+    x = RNG.normal(0, 1, (4, d)).astype(np.float32)
+
+    p = ffn_split_perm(h, gs)
+    perm = np.concatenate([p, h + p])
+    w13q = qtensor_from_float_np(
+        np.concatenate([w1, w3], 0)[perm], QuantType.Q4_0, gs)
+    w2q = qtensor_from_float_np(w2, QuantType.Q4_0, gs)
+
+    fused = np.asarray(ffn_fused_pallas(jnp.asarray(x), w13q, w2q,
+                                        act="silu", interpret=True))
+
+    gu = qmatmul_pallas(jnp.asarray(x), w13q, interpret=True)
+    gu = _unpermute_w13_cols(cfg, w13q, gu)
+    gate, up = gu[:, :h], gu[:, h:]
+    act = np.asarray(silu(gate) * up, np.float32)
+    unfused = np.asarray(qmatmul_pallas(jnp.asarray(act), w2q,
+                                        interpret=True))
+    np.testing.assert_allclose(fused, unfused, rtol=2e-2, atol=2e-2)
+
+
+def test_q4_as_int8_expansion_bit_exact():
+    """Q4 weights expanded to int8 at load (q4_as_int8) must produce
+    IDENTICAL greedy tokens to the packed-resident Q4 fast path."""
+    from lmrs_tpu.config import ModelType
+    from lmrs_tpu.io.params import params_from_weights
+    from lmrs_tpu.io.synthetic import random_weights, tiny_config
+    from lmrs_tpu.runtime.engine import Engine, GenerationConfig
+
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q4_0, dim=128,
+                      group_size=64, hidden_dim=256, vocab_size=512)
+    cfg = cfg.replace(matmul_impl="fast")
+    weights = random_weights(cfg, 11)
+    gen = GenerationConfig(temperature=0.0, max_new_tokens=8)
+
+    packed = Engine(cfg, params_from_weights(cfg, weights),
+                    cache_dtype=jnp.float32, min_attn_bucket=32,
+                    prefill_chunk=8).generate([1, 2, 3], gen)
+    expanded = Engine(cfg, params_from_weights(cfg, weights,
+                                               q4_as_int8=True),
+                      cache_dtype=jnp.float32, min_attn_bucket=32,
+                      prefill_chunk=8).generate([1, 2, 3], gen)
+    assert packed == expanded, (packed, expanded)

@@ -79,6 +79,61 @@ def test_staggered_admission(model):
         assert done[i] == want[i], (i, done[i], want[i])
 
 
+def test_batched_matches_single_stream_gemma():
+    """Gemma exercises the extra norms, attention softcap, sliding window,
+    final-logit softcap, and sqrt(dim) embedding scaling in the batched
+    forward."""
+    cfg = tiny_config(ModelType.GEMMA, QuantType.Q4_0, dim=64,
+                      hidden_dim=128, n_layers=2, vocab_size=256,
+                      group_size=32, seq_len=128)
+    params = params_from_weights(cfg, random_weights(cfg, seed=3))
+    want = []
+    for p in PROMPTS:
+        eng = Engine(cfg, params, cache_dtype=jnp.float32,
+                     min_attn_bucket=32, prefill_chunk=8, decode_chunk=4)
+        want.append(eng.generate(
+            p, GenerationConfig(temperature=0.0, max_new_tokens=N_NEW)))
+
+    sched = BatchScheduler(cfg, params, max_batch=4, max_ctx=64,
+                           cache_dtype=jnp.float32, prefill_chunk=8,
+                           decode_chunk=4, min_attn_bucket=32,
+                           temperature=0.0)
+    done = {}
+    for i, p in enumerate(PROMPTS):
+        sched.submit(p, max_new_tokens=N_NEW,
+                     on_done=lambda out, i=i: done.setdefault(i, out))
+    sched.run()
+    for i in range(3):
+        assert done[i] == want[i], (i, done[i], want[i])
+
+
+def test_conversation_lease_multi_turn(model):
+    """A leased conversation's second turn must match an Engine running the
+    same two turns back-to-back (KV prefix stays resident)."""
+    cfg, params = model
+    eng = Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=32,
+                 prefill_chunk=8, decode_chunk=4)
+    g = GenerationConfig(temperature=0.0, max_new_tokens=4)
+    turn1 = eng.generate(PROMPTS[0], g)
+    turn2 = eng.generate(PROMPTS[1], g)
+
+    sched = BatchScheduler(cfg, params, max_batch=2, max_ctx=128,
+                           cache_dtype=jnp.float32, prefill_chunk=8,
+                           decode_chunk=4, min_attn_bucket=32,
+                           temperature=0.0)
+    lease = sched.new_conversation()
+    done = {}
+    sched.submit(PROMPTS[0], max_new_tokens=4, lease=lease,
+                 on_done=lambda out: done.setdefault(1, out))
+    sched.run()
+    sched.submit(PROMPTS[1], max_new_tokens=4, lease=lease,
+                 on_done=lambda out: done.setdefault(2, out))
+    sched.run()
+    sched.end_conversation(lease)
+    assert done[1] == turn1
+    assert done[2] == turn2
+
+
 def test_stop_tokens_and_slot_reuse(model):
     cfg, params = model
     want = _engine_outputs(cfg, params)
