@@ -128,11 +128,92 @@ def _q4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, e_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:]
 
 
+def _q8_kernel_gl(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
+                  gs: int):
+    """Group-loop variant: no expansion matmul, no full-tile scale
+    multiply — each group's (O_T, T) partial dot is scaled by its own
+    per-row scale column.  VPU work per weight element drops to just the
+    int8→bf16 convert.
+
+    s_ref block is (1, G_T, O_T): scales pre-transposed so a group's row
+    is a sublane slice (lane-dim narrow windows don't lower)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g_tile = s_ref.shape[1]
+    for g in range(g_tile):
+        w_bf = w_ref[:, g * gs:(g + 1) * gs].astype(jnp.bfloat16)
+        p = jax.lax.dot_general(
+            w_bf, x_ref[:, g * gs:(g + 1) * gs],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (O_T, T)
+        s_col = s_ref[0, g, :]                            # (O_T,)
+        acc_ref[:] += p * s_col[:, None]
+
+    @pl.when(j == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def qmatmul_pallas_gl(x: jax.Array, w: QTensor, *,
+                      interpret: Optional[bool] = None,
+                      o_tile: Optional[int] = None,
+                      k_tile: Optional[int] = None) -> jax.Array:
+    """Group-loop Q8 kernel (experimental fast path)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert w.qtype == QuantType.Q8_0
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    o = w.out_features
+    gs = w.group_size
+    x2 = x.reshape(-1, n).astype(jnp.bfloat16)
+    t = x2.shape[0]
+    t_pad = max(16, 1 << (t - 1).bit_length())
+    if t_pad != t:
+        x2 = jnp.pad(x2, ((0, t_pad - t), (0, 0)))
+
+    o_t = _pick_tile(o, o_tile or 512, 128)
+    k_t = _pick_tile(n, k_tile or 4096, max(gs * 2, 256))
+    n_o, n_k = o // o_t, n // k_t
+    g_tile = k_t // gs
+    # scales (O, G) → (n_k, g_tile, O): group rows on sublanes
+    s_tiled = w.s.reshape(o, n_k, g_tile).transpose(1, 2, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_q8_kernel_gl, n_k=n_k, gs=gs),
+        grid=(n_o, n_k),
+        in_specs=[
+            pl.BlockSpec((t_pad, k_t), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((o_t, k_t), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_tile, o_t), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((o_t, t_pad), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((o_t, t_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x2, w.q, s_tiled)
+    y = out.T[:t]
+    return y.reshape(*lead, o)
+
+
 def qmatmul_pallas(x: jax.Array, w: QTensor, *,
-                   interpret: Optional[bool] = None) -> jax.Array:
+                   interpret: Optional[bool] = None,
+                   o_tile: Optional[int] = None,
+                   k_tile: Optional[int] = None) -> jax.Array:
     """y = x @ W^T with W Q8_0/Q4_0; x float (..., in) → f32 (..., out)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    o_tile_arg, k_tile_arg = o_tile, k_tile
     lead = x.shape[:-1]
     n = x.shape[-1]
     o = w.out_features
@@ -145,14 +226,21 @@ def qmatmul_pallas(x: jax.Array, w: QTensor, *,
         x2 = jnp.pad(x2, ((0, t_pad - t), (0, 0)))
 
     if w.qtype == QuantType.Q4_0:
-        # the nibble-unpack materializes a few bf16 intermediates of the
-        # whole (o_tile, k_tile/2) tile in VMEM — keep the product small
-        # enough that scoped VMEM (16M) holds them plus double buffers
+        # the nibble-unpack materializes a few intermediates of the whole
+        # (o_tile, k_tile/2) tile in VMEM — keep the product bounded
         o_tile = _pick_tile(o, 512, 128)
         k_tile = _pick_tile(n, 2048, max(gs * 2, 256))
     else:
+        # o_tile 512 measured best END-TO-END on both llama-1b and
+        # gemma-9b; bigger tiles look faster in isolated microbenches but
+        # lose real decode throughput (shallower DMA pipelining on the
+        # small matrices, and microbench deltas carry ±30% tunnel noise)
         o_tile = _pick_tile(o, 512, 128)
         k_tile = _pick_tile(n, 4096, max(gs * 2, 256))
+    if o_tile_arg:
+        o_tile = _pick_tile(o, o_tile_arg, 128)
+    if k_tile_arg:
+        k_tile = _pick_tile(n, k_tile_arg, max(gs * 2, 256))
     n_o, n_k = o // o_tile, n // k_tile
     g_tile = k_tile // gs
 
