@@ -382,17 +382,28 @@ def forward_batched(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        def upd(c_b, val_b, p_b):
-            # c_b (L, S, KH, hd); val_b (KH, hd) — one token at (l, p_b)
-            return jax.lax.dynamic_update_slice(
-                c_b, val_b[None, None].astype(c_b.dtype), (l, p_b, 0, 0))
+        # Per-slot updates UNROLLED (B is small and static): a vmapped
+        # dynamic_update_slice with per-slot positions lowers to scatter,
+        # which copies the multi-GB batched cache every step; sequential
+        # single-slice DUS ops stay in place.
+        for b_i in range(b):
+            k_c = jax.lax.dynamic_update_slice(
+                k_c, k[b_i][None, None, None].astype(k_c.dtype),
+                (b_i, l, pos[b_i], 0, 0))
+            v_c = jax.lax.dynamic_update_slice(
+                v_c, v[b_i][None, None, None].astype(v_c.dtype),
+                (b_i, l, pos[b_i], 0, 0))
 
-        k_c = jax.vmap(upd)(k_c, k, pos)
-        v_c = jax.vmap(upd)(v_c, v, pos)
-
-        att = jax.vmap(
-            lambda q_b, kl, vl, p_b: attn_one(q_b[None], kl[l], vl[l], p_b)[0]
-        )(q, k_c, v_c, pos)
+        att_slots = []
+        for b_i in range(b):
+            kl = jax.lax.dynamic_slice(
+                k_c, (b_i, l, 0, 0, 0),
+                (1, 1, attn_len, cfg.n_kv_heads, cfg.head_dim))[0, 0]
+            vl = jax.lax.dynamic_slice(
+                v_c, (b_i, l, 0, 0, 0),
+                (1, 1, attn_len, cfg.n_kv_heads, cfg.head_dim))[0, 0]
+            att_slots.append(attn_one(q[b_i][None], kl, vl, pos[b_i])[0])
+        att = jnp.stack(att_slots)
 
         o = qmatmul(att.reshape(b, cfg.att_dim), lw.wo, cfg.matmul_impl)
         if is_gemma:
