@@ -157,8 +157,9 @@ def bench_batched(cfg, params, config_name, quant_name, batch, n_tokens,
 
     from lmrs_tpu.serve.scheduler import BatchScheduler
 
+    max_ctx = int(os.environ.get("LMRS_BENCH_MAX_CTX", "2048"))
     sched = BatchScheduler(cfg, params, max_batch=batch,
-                           max_ctx=min(2048, cfg.seq_len),
+                           max_ctx=min(max_ctx, cfg.seq_len),
                            cache_dtype=jnp.bfloat16, decode_chunk=16,
                            temperature=0.0)
     rng = np.random.default_rng(0)

@@ -41,7 +41,7 @@ N_O = OUT // O_T
 T_PAD = 16
 
 
-def _kern(x_ref, w_ref, s_ref, o_ref, *, mode: str):
+def _kern(x_ref, w_ref, s_ref, st_ref, o_ref, *, mode: str):
     if mode == "scalar":
         w_bf = w_ref[:].astype(jnp.bfloat16) * jnp.bfloat16(0.0078)
     elif mode == "repeat":
@@ -57,6 +57,17 @@ def _kern(x_ref, w_ref, s_ref, o_ref, *, mode: str):
         s3 = s_ref[0][:, :, None].astype(jnp.bfloat16)
         w3 = w_ref[:].astype(jnp.bfloat16).reshape(O_T, G, gs)
         w_bf = (w3 * s3).reshape(O_T, K_T)
+    elif mode == "chunkmul":
+        # build the dequant tile chunkwise: per group, convert the 128-lane
+        # chunk and multiply by that group's (O_T, 1) scale column — no
+        # materialized full-tile s_rep (scales pre-transposed (G, O_T) so
+        # a group's scales are a sublane row; f32 minor-insert is legal)
+        chunks = []
+        for g in range(G):
+            s_col = st_ref[0, g, :][:, None].astype(jnp.bfloat16)
+            chunks.append(
+                w_ref[:, g * gs:(g + 1) * gs].astype(jnp.bfloat16) * s_col)
+        w_bf = jnp.concatenate(chunks, axis=1)
     elif mode == "none":
         w_bf = w_ref[:].astype(jnp.bfloat16)
     o_ref[:] = jax.lax.dot_general(
@@ -64,7 +75,7 @@ def _kern(x_ref, w_ref, s_ref, o_ref, *, mode: str):
         preferred_element_type=jnp.float32)
 
 
-def variant(x, q, s, mode):
+def variant(x, q, s, st, mode):
     return pl.pallas_call(
         functools.partial(_kern, mode=mode),
         grid=(N_O,),
@@ -75,13 +86,15 @@ def variant(x, q, s, mode):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, O_T, G), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, O_T), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((O_T, T_PAD), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((OUT, T_PAD), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, q, s)
+    )(x, q, s, st)
 
 
 @jax.jit
@@ -112,7 +125,9 @@ def delta(make_chain, label, ws):
 
 S_T = [jnp.asarray(np.ascontiguousarray(
     w.s.reshape(OUT, 1, G).transpose(1, 0, 2))) for w in WS]
-X16 = None
+# scales transposed (1, G, OUT): a group's scales on one sublane row
+S_TT = [jnp.asarray(np.ascontiguousarray(
+    np.asarray(w.s).reshape(OUT, G).T[None])) for w in WS]
 
 
 def chain(mode, k):
@@ -120,7 +135,7 @@ def chain(mode, k):
         for i in range(k):
             w = ws[i % N_W]
             xb = jnp.pad(x.astype(jnp.bfloat16), ((0, T_PAD - 1), (0, 0)))
-            y = variant(xb, w.q, S_T[i % N_W], mode)
+            y = variant(xb, w.q, S_T[i % N_W], S_TT[i % N_W], mode)
             x = x + 1e-30 * y.T[:1, :IN]
         return x
     return f
@@ -135,6 +150,6 @@ def base_chain(k):
     return f
 
 
-delta(lambda k: chain("reshape3d", k), "E reshape3d scale    ", WS)
+delta(lambda k: chain("chunkmul", k), "F chunkwise scale    ", WS)
 delta(lambda k: chain("none", k), "D no scale           ", WS)
 delta(lambda k: chain("scalar", k), "B scalar scale       ", WS)
