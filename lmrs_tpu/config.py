@@ -138,6 +138,18 @@ class ModelConfig:
         # reference: src/transformer.rs:516 — score /= sqrt(head_size)
         return 1.0 / math.sqrt(self.head_dim)
 
+    @property
+    def cache_head_dim(self) -> int:
+        """Runtime KV-cache head dim, padded so TPU vector lanes (128) tile
+        it exactly.  Phi's head_dim=96 would otherwise force a padded-layout
+        copy of the whole cache on every dynamic_update_slice (measured
+        ~17x decode slowdown); zero-padded q/k/v add nothing to scores or
+        outputs."""
+        hd = self.head_dim
+        if hd % 128 == 0 or 128 % hd == 0:
+            return hd
+        return ((hd + 127) // 128) * 128
+
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
 

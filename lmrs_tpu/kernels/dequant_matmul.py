@@ -50,6 +50,24 @@ def _pick_tile(n: int, target: int, multiple: int) -> int:
     return best or n
 
 
+def _pick_o_tile(n: int, target: int) -> int:
+    """O-dim tile: like _pick_tile but relaxes the alignment 128→32→8
+    before giving up — e.g. Phi's vocab 32064 has no /128 divisor, and the
+    whole-matrix fallback would put a ~94MB block in VMEM (register-spill
+    catastrophe).  O tiles only need sublane alignment, unlike K tiles
+    whose multiple keeps quantization groups intact."""
+    if n <= target:
+        return n
+    for m in (128, 32, 8):
+        best = None
+        for t in range(m, target + 1, m):
+            if n % t == 0:
+                best = t
+        if best is not None:
+            return best
+    return n
+
+
 def _expansion_matrix(groups: int, width: int) -> np.ndarray:
     """E (groups, width) with E[g, j] = 1 iff j // (width/groups) == g."""
     per = width // groups
@@ -176,7 +194,7 @@ def qmatmul_pallas_gl(x: jax.Array, w: QTensor, *,
     if t_pad != t:
         x2 = jnp.pad(x2, ((0, t_pad - t), (0, 0)))
 
-    o_t = _pick_tile(o, o_tile or 512, 128)
+    o_t = _pick_o_tile(o, o_tile or 512)
     k_t = _pick_tile(n, k_tile or 4096, max(gs * 2, 256))
     n_o, n_k = o // o_t, n // k_t
     g_tile = k_t // gs
@@ -199,7 +217,7 @@ def qmatmul_pallas_gl(x: jax.Array, w: QTensor, *,
         out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((o_t, t_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(x2, w.q, s_tiled)
     y = out.T[:t]
@@ -228,17 +246,17 @@ def qmatmul_pallas(x: jax.Array, w: QTensor, *,
     if w.qtype == QuantType.Q4_0:
         # the nibble-unpack materializes a few intermediates of the whole
         # (o_tile, k_tile/2) tile in VMEM — keep the product bounded
-        o_tile = _pick_tile(o, 512, 128)
+        o_tile = _pick_o_tile(o, 512)
         k_tile = _pick_tile(n, 2048, max(gs * 2, 256))
     else:
         # o_tile 512 measured best END-TO-END on both llama-1b and
         # gemma-9b; bigger tiles look faster in isolated microbenches but
         # lose real decode throughput (shallower DMA pipelining on the
         # small matrices, and microbench deltas carry ±30% tunnel noise)
-        o_tile = _pick_tile(o, 512, 128)
+        o_tile = _pick_o_tile(o, 512)
         k_tile = _pick_tile(n, 4096, max(gs * 2, 256))
     if o_tile_arg:
-        o_tile = _pick_tile(o, o_tile_arg, 128)
+        o_tile = _pick_o_tile(o, o_tile_arg)
     if k_tile_arg:
         k_tile = _pick_tile(n, k_tile_arg, max(gs * 2, 256))
     n_o, n_k = o // o_tile, n // k_tile
@@ -269,7 +287,7 @@ def qmatmul_pallas(x: jax.Array, w: QTensor, *,
             out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
             scratch_shapes=[pltpu.VMEM((o_tile, t_pad), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=48 * 1024 * 1024),
             interpret=interpret,
         )(x2, w.q, s_tiled, e)
     elif w.qtype == QuantType.Q4_0:
@@ -302,7 +320,7 @@ def qmatmul_pallas(x: jax.Array, w: QTensor, *,
             out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
             scratch_shapes=[pltpu.VMEM((o_tile, t_pad), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=48 * 1024 * 1024),
             interpret=interpret,
         )(x_lo, x_hi, w.q, s_tiled, e)
     else:

@@ -267,7 +267,7 @@ def ffn_fused_pallas(xn: jax.Array, w13: QTensor, w2: QTensor, *,
         # the default 16M scoped-VMEM budget is too small for the y13/g
         # scratch next to both stages' dequant intermediates; v5e has 128M
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*x_args, w13.q, w13.s, e13, w2.q, s2_tiled, e2)
 

@@ -107,9 +107,9 @@ def init_kv_cache(cfg: ModelConfig, dtype=jnp.float32, seq_len: Optional[int] = 
                   sharding=None) -> KVCache:
     """Preallocate the cache (reference keeps f32 host buffers,
     src/transformer.rs:227-228; on TPU bfloat16 halves HBM traffic and is the
-    default in the engine)."""
+    default in the engine).  head_dim is lane-padded (cfg.cache_head_dim)."""
     s = seq_len or cfg.seq_len
-    shape = (cfg.n_layers, s, cfg.n_kv_heads, cfg.head_dim)
+    shape = (cfg.n_layers, s, cfg.n_kv_heads, cfg.cache_head_dim)
     z = jnp.zeros(shape, dtype)
     if sharding is not None:
         z = jax.device_put(z, sharding)
@@ -196,6 +196,14 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    # Lane-pad head_dim (see ModelConfig.cache_head_dim): zero-padded q/k
+    # add nothing to scores; zero-padded v rows are sliced off after.
+    hd_pad = cfg.cache_head_dim - cfg.head_dim
+    if hd_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, hd_pad)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, hd_pad)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, hd_pad)))
+
     # The cache stores rotated keys, like the reference (which applies RoPE
     # in-place on cache slices, src/transformer.rs:443,486-491).
     k_cache = jax.lax.dynamic_update_slice(
@@ -205,10 +213,10 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
 
     k_att = jax.lax.dynamic_slice(
         k_cache, (layer_idx, 0, 0, 0),
-        (1, attn_len, cfg.n_kv_heads, cfg.head_dim))[0]
+        (1, attn_len, cfg.n_kv_heads, cfg.cache_head_dim))[0]
     v_att = jax.lax.dynamic_slice(
         v_cache, (layer_idx, 0, 0, 0),
-        (1, attn_len, cfg.n_kv_heads, cfg.head_dim))[0]
+        (1, attn_len, cfg.n_kv_heads, cfg.cache_head_dim))[0]
 
     att = attention(
         q,
@@ -219,6 +227,8 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         softcap=cfg.attn_logit_softcap,
         window=cfg.sliding_window,
     )
+    if hd_pad:
+        att = att[..., : cfg.head_dim]
 
     o = qmatmul(att.reshape(t_q, cfg.att_dim), lw.wo, cfg.matmul_impl)
 
@@ -382,6 +392,12 @@ def forward_batched(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+        hd_pad = cfg.cache_head_dim - cfg.head_dim
+        if hd_pad:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, hd_pad)))
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, hd_pad)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, hd_pad)))
+
         # Per-slot updates UNROLLED (B is small and static): a vmapped
         # dynamic_update_slice with per-slot positions lowers to scatter,
         # which copies the multi-GB batched cache every step; sequential
@@ -398,12 +414,14 @@ def forward_batched(
         for b_i in range(b):
             kl = jax.lax.dynamic_slice(
                 k_c, (b_i, l, 0, 0, 0),
-                (1, 1, attn_len, cfg.n_kv_heads, cfg.head_dim))[0, 0]
+                (1, 1, attn_len, cfg.n_kv_heads, cfg.cache_head_dim))[0, 0]
             vl = jax.lax.dynamic_slice(
                 v_c, (b_i, l, 0, 0, 0),
-                (1, 1, attn_len, cfg.n_kv_heads, cfg.head_dim))[0, 0]
+                (1, 1, attn_len, cfg.n_kv_heads, cfg.cache_head_dim))[0, 0]
             att_slots.append(attn_one(q[b_i][None], kl, vl, pos[b_i])[0])
         att = jnp.stack(att_slots)
+        if hd_pad:
+            att = att[..., : cfg.head_dim]
 
         o = qmatmul(att.reshape(b, cfg.att_dim), lw.wo, cfg.matmul_impl)
         if is_gemma:

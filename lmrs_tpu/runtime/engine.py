@@ -19,6 +19,7 @@ Metrics (tok/s, TTFT) mirror chat.rs:200-226's --show-metrics.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from functools import partial
 from typing import Callable, Iterable, List, Optional, Sequence
@@ -68,6 +69,50 @@ def _next_pow2(n: int, lo: int, hi: int) -> int:
     return min(b, hi)
 
 
+@functools.lru_cache(maxsize=None)
+def _compiled_fns(cfg: ModelConfig):
+    """Jitted (embed, step, decode_chunk) programs, cached per config so
+    every Engine with the same ModelConfig shares XLA compilations."""
+
+    embed = jax.jit(partial(embed_tokens, cfg=cfg))
+
+    @partial(jax.jit, static_argnames=("attn_len", "want_logits"),
+             donate_argnames=("cache",))
+    def _step(params, cache, x, pos, logit_idx, attn_len, want_logits):
+        return forward(params, cfg, cache, x, pos, attn_len,
+                       logit_idx if want_logits else None)
+
+    @partial(jax.jit,
+             static_argnames=("n_steps", "attn_len", "temperature", "top_p"),
+             donate_argnames=("cache",))
+    def _decode_chunk(params, cache, token, pos, key, n_steps, attn_len,
+                      temperature, top_p):
+        """Fused multi-token decode: embed→forward→sample, `n_steps` times
+        in one device program (lax.scan).  One host dispatch per chunk
+        instead of per token — on TPU the per-dispatch latency would
+        otherwise dominate single-stream decode."""
+
+        def step(carry, _):
+            tok, p, cache, k = carry
+            x = embed_tokens(params, cfg, tok[None])
+            logits, cache = forward(params, cfg, cache, x, p,
+                                    attn_len, jnp.int32(0))
+            k, sub = jax.random.split(k)
+            if temperature == 0.0:
+                nxt = sample_argmax(logits)
+            elif top_p <= 0.0 or top_p >= 1.0:
+                nxt = sample_multinomial(logits, temperature, sub)
+            else:
+                nxt = sample_topp(logits, temperature, top_p, sub)
+            return (nxt, p + 1, cache, k), nxt
+
+        (tok, p, cache, key), toks = jax.lax.scan(
+            step, (token, pos, cache, key), length=n_steps)
+        return toks, cache
+
+    return embed, _step, _decode_chunk
+
+
 class Engine:
     """Single-stream inference over one model instance.
 
@@ -95,56 +140,44 @@ class Engine:
         self.cache = init_kv_cache(cfg, cache_dtype, sharding=cache_sharding)
         self.pos = 0
         self.metrics = StepMetrics()
-
-        self._embed = jax.jit(partial(embed_tokens, cfg=self.cfg))
-
-        @partial(jax.jit, static_argnames=("attn_len", "want_logits"),
-                 donate_argnames=("cache",))
-        def _step(params, cache, x, pos, logit_idx, attn_len, want_logits):
-            return forward(params, self.cfg, cache, x, pos, attn_len,
-                           logit_idx if want_logits else None)
-
-        self._step = _step
-
-        @partial(jax.jit,
-                 static_argnames=("n_steps", "attn_len", "temperature",
-                                  "top_p"),
-                 donate_argnames=("cache",))
-        def _decode_chunk(params, cache, token, pos, key, n_steps, attn_len,
-                          temperature, top_p):
-            """Fused multi-token decode: embed→forward→sample, `n_steps`
-            times in one device program (lax.scan).  One host dispatch per
-            chunk instead of per token — on TPU the per-dispatch latency
-            would otherwise dominate single-stream decode."""
-            from lmrs_tpu.ops.sampling import (sample_argmax,
-                                               sample_multinomial,
-                                               sample_topp)
-
-            def step(carry, _):
-                tok, p, cache, k = carry
-                x = embed_tokens(params, self.cfg, tok[None])
-                logits, cache = forward(params, self.cfg, cache, x, p,
-                                        attn_len, jnp.int32(0))
-                k, sub = jax.random.split(k)
-                if temperature == 0.0:
-                    nxt = sample_argmax(logits)
-                elif top_p <= 0.0 or top_p >= 1.0:
-                    nxt = sample_multinomial(logits, temperature, sub)
-                else:
-                    nxt = sample_topp(logits, temperature, top_p, sub)
-                return (nxt, p + 1, cache, k), nxt
-
-            (tok, p, cache, key), toks = jax.lax.scan(
-                step, (token, pos, cache, key), length=n_steps)
-            return toks, cache
-
-        self._decode_chunk = _decode_chunk
+        # compiled programs are shared across Engine instances with the same
+        # config (the serving backend builds one engine per connection —
+        # fresh jit closures there would recompile everything per client)
+        self._embed, self._step, self._decode_chunk = _compiled_fns(cfg)
 
     # ------------------------------------------------------------------
     def reset(self):
         """New conversation: zero `pos` (cache contents become dead)."""
         self.pos = 0
         self.metrics = StepMetrics()
+
+    def warmup(self, max_pos: Optional[int] = None,
+               temperature: float = 0.0, top_p: float = 0.9):
+        """Precompile the prefill and decode-chunk programs for every
+        attention-length bucket up to `max_pos` (default: full context), so
+        no conversation hits a mid-stream compile stall.  Restores pos=0."""
+        limit = min(max_pos or self.cfg.seq_len, self.cfg.seq_len)
+        key = jax.random.PRNGKey(0)
+        x = jnp.zeros((self.prefill_chunk, self.cfg.dim), jnp.float32)
+        x1 = jnp.zeros((1, self.cfg.dim), jnp.float32)
+        seen = set()
+        b = self._attn_bucket(1)
+        while True:
+            if b not in seen:
+                seen.add(b)
+                _, self.cache = self._step(
+                    self.params, self.cache, x, jnp.int32(0), jnp.int32(0),
+                    attn_len=b, want_logits=True)
+                if self.decode_chunk > 1:
+                    _, self.cache = self._decode_chunk(
+                        self.params, self.cache, jnp.int32(0), jnp.int32(0),
+                        key, n_steps=self.decode_chunk, attn_len=b,
+                        temperature=temperature, top_p=top_p)
+            if b >= limit:
+                break
+            b = self._attn_bucket(b + 1)
+        jax.block_until_ready((self.cache.k, self.cache.v))
+        self.reset()
 
     def _attn_bucket(self, needed: int) -> int:
         return _next_pow2(needed, self.min_attn_bucket, self.cfg.seq_len)

@@ -93,7 +93,8 @@ class BatchScheduler:
         self.min_attn_bucket = min(min_attn_bucket, self.S)
         self.temperature = temperature
         self.top_p = top_p
-        shape = (self.B, cfg.n_layers, self.S, cfg.n_kv_heads, cfg.head_dim)
+        shape = (self.B, cfg.n_layers, self.S, cfg.n_kv_heads,
+                 cfg.cache_head_dim)
         self.cache = KVCache(k=jnp.zeros(shape, cache_dtype),
                              v=jnp.zeros(shape, cache_dtype))
         self.slots = [_Slot() for _ in range(self.B)]

@@ -161,3 +161,25 @@ def test_long_generation_crosses_buckets():
     got = eng.generate(prompt, GenerationConfig(temperature=0.0,
                                                 max_new_tokens=n_new))
     assert got == want
+
+
+def test_padded_cache_head_dim_matches_golden():
+    """head_dim=24 (not lane-aligned) pads the runtime KV cache to 128
+    (ModelConfig.cache_head_dim) — numerics must be unchanged (Phi-3.5's
+    head_dim=96 hits this path at full scale)."""
+    cfg = tiny_config(ModelType.PHI, QuantType.Q8_0, head_dim=24,
+                      n_heads=4, n_kv_heads=2, dim=96,
+                      rope_short_factor=tuple(1.0 + 0.05 * i
+                                              for i in range(12)))
+    assert cfg.cache_head_dim == 128
+    weights = random_weights(cfg, 9)
+    golden = GoldenTransformer(cfg, weights)
+    params = params_from_weights(cfg, weights)
+    eng = Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=32,
+                 prefill_chunk=8)
+
+    prompt = [1, 7, 42]
+    want = golden.generate_greedy(prompt, 6)
+    got = eng.generate(prompt, GenerationConfig(temperature=0.0,
+                                                max_new_tokens=6))
+    assert got == want
