@@ -236,10 +236,11 @@ def qmatmul_pallas(x: jax.Array, w: QTensor, *,
     n = x.shape[-1]
     o = w.out_features
     gs = w.group_size
-    # bf16 activations: min bf16 sublane tile is 16, so pad T to 16
+    # bf16 activations; T pads to the sublane bucket (8 suffices — Mosaic
+    # masks the half-used bf16 vreg — and halves the MXU N vs 16)
     x2 = x.reshape(-1, n).astype(jnp.bfloat16)
     t = x2.shape[0]
-    t_pad = max(16, 1 << (t - 1).bit_length())
+    t_pad = max(8, 1 << (t - 1).bit_length())
     if t_pad != t:
         x2 = jnp.pad(x2, ((0, t_pad - t), (0, 0)))
 
