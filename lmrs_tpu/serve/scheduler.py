@@ -321,7 +321,11 @@ class BatchScheduler:
             return
 
         tokens = np.zeros((self.B,), np.int32)
-        pos = np.zeros((self.B,), np.int32)
+        # Inactive lanes still run through the batched step and WRITE cache
+        # rows at their pos: point them at their own slot.pos so the garbage
+        # lands in the causally-dead region beyond that slot's history
+        # (pos=0 would clobber an idle leased conversation's KV prefix).
+        pos = np.asarray([s.pos for s in self.slots], np.int32)
         for i, s in active:
             tokens[i] = s.req.out[-1]
             pos[i] = s.pos

@@ -157,3 +157,36 @@ def test_stop_tokens_and_slot_reuse(model):
                  on_done=lambda out: done.setdefault(1, out))
     sched.run()
     assert done[1] == want[1]
+
+
+def test_idle_lease_survives_other_traffic(model):
+    """An idle leased conversation's KV prefix must survive decode chunks
+    run for OTHER slots (inactive lanes write at their own dead positions,
+    not at 0)."""
+    cfg, params = model
+    eng = Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=32,
+                 prefill_chunk=8, decode_chunk=4)
+    g = GenerationConfig(temperature=0.0, max_new_tokens=4)
+    turn1 = eng.generate(PROMPTS[0], g)
+    turn2 = eng.generate(PROMPTS[1], g)
+
+    sched = BatchScheduler(cfg, params, max_batch=2, max_ctx=128,
+                           cache_dtype=jnp.float32, prefill_chunk=8,
+                           decode_chunk=4, min_attn_bucket=32,
+                           temperature=0.0)
+    done = {}
+    lease = sched.new_conversation()
+    sched.submit(PROMPTS[0], max_new_tokens=4, lease=lease,
+                 on_done=lambda out: done.setdefault("t1", out))
+    sched.run()
+    # other traffic decodes in the second slot while the lease sits idle
+    sched.submit(PROMPTS[2], max_new_tokens=10,
+                 on_done=lambda out: done.setdefault("other", out))
+    sched.run()
+    # second turn of the leased conversation must be unaffected
+    sched.submit(PROMPTS[1], max_new_tokens=4, lease=lease,
+                 on_done=lambda out: done.setdefault("t2", out))
+    sched.run()
+    sched.end_conversation(lease)
+    assert done["t1"] == turn1
+    assert done["t2"] == turn2, (done["t2"], turn2)
