@@ -80,11 +80,11 @@ def main():
     # the .lmrs header has no runtime knobs: carry the requested matmul
     # implementation into the runtime config (f.cfg alone would silently
     # run the slow integer-exact parity path)
-    # fused FFN measured ~15% SLOWER than separate kernels on v5e (Mosaic
-    # appears to drop pipelining with stage-switching index maps) — off by
-    # default until the kernel pipelines properly
+    # one Pallas call per FFN ([gate;up] -> GLU -> down): with the current
+    # tile/VMEM settings it measures equal-or-better on every config
+    # (gemma-9b 33.9 -> 34.5 tok/s), so it's on by default
     fuse_ffn = (impl == "fast"
-                and os.environ.get("LMRS_BENCH_FUSE_FFN", "0") == "1")
+                and os.environ.get("LMRS_BENCH_FUSE_FFN", "1") == "1")
     # Q4 expands to int8 in HBM by default on the fast path: the packed-Q4
     # kernel is VPU-bound on v5e, so 2x bytes at Q8-kernel speed wins
     # (bit-identical numerics; set LMRS_BENCH_Q4_INT8=0 for packed-resident)

@@ -82,13 +82,14 @@ def main(argv: Optional[List[str]] = None) -> None:
     f = read_lmrs(args.model)
     # the .lmrs header carries no runtime knobs — select the matmul path
     fuse = args.impl == "fast"
-    f.cfg = f.cfg.replace(matmul_impl=args.impl)
+    f.cfg = f.cfg.replace(matmul_impl=args.impl, fuse_ffn=fuse)
     cfg = f.cfg
     print(f"Model type: {cfg.model_type.name}")
     if cfg.quant.value:
         print(f"Using {cfg.quant.name} quantization.")
     print("Loading weights...")
-    params = params_from_lmrs(f, fuse_qkv=fuse, q4_as_int8=fuse)
+    params = params_from_lmrs(f, fuse_qkv=fuse, fuse_ffn=fuse,
+                              q4_as_int8=fuse)
     print("Done.\n")
 
     engine = Engine(cfg, params,

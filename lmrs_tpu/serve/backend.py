@@ -65,10 +65,11 @@ class BackendServer:
         # serving default is the fast fused-kernel path; the .lmrs header
         # carries no runtime knobs
         fuse = matmul_impl == "fast"
-        self.file.cfg = self.file.cfg.replace(matmul_impl=matmul_impl)
+        self.file.cfg = self.file.cfg.replace(matmul_impl=matmul_impl,
+                                              fuse_ffn=fuse)
         self.cfg = self.file.cfg
         self.params = params_from_lmrs(self.file, fuse_qkv=fuse,
-                                       q4_as_int8=fuse)
+                                       fuse_ffn=fuse, q4_as_int8=fuse)
         self.cache_dtype = (jnp.bfloat16 if cache_dtype == "bfloat16"
                             else jnp.float32)
         self.temperature = temperature
