@@ -59,6 +59,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="matmul path: 'fast' = fused Pallas dequant kernels"
                         " (W8A16/W4A16); 'exact' = bit-parity with lm.rs "
                         "(integer dots + activation re-quantization)")
+    p.add_argument("--seq-len", dest="seq_len", type=int, default=None,
+                   help="override the context length (the reference clamps "
+                        "to 8192 to bound its host-RAM f32 cache; the TPU "
+                        "bf16 cache can go further, HBM permitting)")
     return p
 
 
@@ -83,6 +87,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     # the .lmrs header carries no runtime knobs — select the matmul path
     fuse = args.impl == "fast"
     f.cfg = f.cfg.replace(matmul_impl=args.impl, fuse_ffn=fuse)
+    if args.seq_len:
+        f.cfg = f.cfg.replace(seq_len=args.seq_len)
     cfg = f.cfg
     print(f"Model type: {cfg.model_type.name}")
     if cfg.quant.value:

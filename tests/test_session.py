@@ -46,3 +46,36 @@ def test_load_session_rejects_wrong_model(tmp_path):
     eng2 = Engine(cfg2, params2, cache_dtype=jnp.float32)
     with pytest.raises(ValueError):
         eng2.load_session(path)
+
+
+def test_engine_warmup_then_generate():
+    """warmup() precompiles bucket programs and leaves the engine usable;
+    a seq_len override past the reference's 8192 clamp also works."""
+    import jax.numpy as jnp
+
+    from lmrs_tpu.config import ModelType
+    from lmrs_tpu.io.params import params_from_weights
+    from lmrs_tpu.io.synthetic import random_weights, tiny_config
+    from lmrs_tpu.quant import QuantType
+    from lmrs_tpu.runtime.engine import Engine, GenerationConfig
+
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, seq_len=96)
+    params = params_from_weights(cfg, random_weights(cfg, seed=2))
+    eng = Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=32,
+                 prefill_chunk=8, decode_chunk=4)
+    eng.warmup()
+    base = eng.generate([1, 5, 9], GenerationConfig(temperature=0.0,
+                                                    max_new_tokens=6))
+
+    eng2 = Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=32,
+                  prefill_chunk=8, decode_chunk=4)
+    assert eng2.generate([1, 5, 9], GenerationConfig(
+        temperature=0.0, max_new_tokens=6)) == base
+
+    # context-length override beyond the file value: bigger cache + rope
+    cfg_long = cfg.replace(seq_len=256)
+    params_long = params_from_weights(cfg_long, random_weights(cfg, seed=2))
+    eng3 = Engine(cfg_long, params_long, cache_dtype=jnp.float32,
+                  min_attn_bucket=32, prefill_chunk=8, decode_chunk=4)
+    assert eng3.generate([1, 5, 9], GenerationConfig(
+        temperature=0.0, max_new_tokens=6)) == base
