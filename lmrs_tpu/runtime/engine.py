@@ -207,6 +207,10 @@ class Engine:
         off = 0
         while off < n:
             chunk = min(self.prefill_chunk, _next_pow2(n - off, 8, self.prefill_chunk))
+            # the pow2 pad must not push the cache write past seq_len: a
+            # clamped dynamic_update_slice would shift the whole chunk back
+            # over real history
+            chunk = min(chunk, self.cfg.seq_len - self.pos)
             xt = x[off:off + chunk]
             real = xt.shape[0]
             if real < chunk:
@@ -285,14 +289,19 @@ class Engine:
         done_chunks = []  # non-streaming: fetched at the end
         while not stopped:
             n = self.decode_chunk
-            if self.pos + (pending[1] if pending else 0) + n >= self.cfg.seq_len:
+            # dispatched-but-undrained tokens (the in-flight chunk AND, in
+            # non-streaming mode, every finished-but-unfetched chunk) count
+            # against the context window — without them chunks keep
+            # dispatching past seq_len and the clamped cache writes corrupt
+            # the tail rows.
+            dispatched = (pending[1] if pending else 0) \
+                + sum(c[1] for c in done_chunks)
+            if self.pos + dispatched + n >= self.cfg.seq_len:
                 break
-            budget = gen.max_new_tokens - len(out) - (pending[1] if pending else 0) \
-                - sum(c[1] for c in done_chunks)
+            budget = gen.max_new_tokens - len(out) - dispatched
             if budget <= 0:
                 break
-            pos_before = self.pos + (pending[1] if pending else 0) \
-                + sum(c[1] for c in done_chunks)
+            pos_before = self.pos + dispatched
             attn_len = self._attn_bucket(pos_before + n)
             toks, self.cache = self._decode_chunk(
                 self.params, self.cache, tok_dev, jnp.int32(pos_before),

@@ -55,6 +55,7 @@ class Request:
     submit_time: float = 0.0
     ttft: Optional[float] = None
     lease: Optional["Lease"] = None
+    error: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -93,7 +94,14 @@ class BatchScheduler:
         self.min_attn_bucket = min(min_attn_bucket, self.S)
         self.temperature = temperature
         self.top_p = top_p
-        shape = (self.B, cfg.n_layers, self.S, cfg.n_kv_heads,
+        # Slack rows past S: inactive lanes (idle leased conversations) ride
+        # through the batched step and write dummy rows at their own pos;
+        # with pos near S those writes would otherwise clamp inside
+        # dynamic_update_slice and shift back over REAL trailing KV rows.
+        # The slack region absorbs them — attention never reads past S
+        # (attn buckets cap at S), so slack rows are always dead.
+        self._slack = max(decode_chunk, 8)
+        shape = (self.B, cfg.n_layers, self.S + self._slack, cfg.n_kv_heads,
                  cfg.cache_head_dim)
         self.cache = KVCache(k=jnp.zeros(shape, cache_dtype),
                              v=jnp.zeros(shape, cache_dtype))
@@ -231,6 +239,17 @@ class BatchScheduler:
                 if req not in self.waiting:
                     continue
                 self.waiting.remove(req)
+            # Re-validate the context bound NOW: on a leased slot, pos may
+            # have grown since submit() (a previous turn was still
+            # decoding), so the submit-time check undershoots.  Failing the
+            # request here beats running prefill past S and corrupting the
+            # conversation's cache.
+            if slot.pos + len(req.prompt) + 1 > self.S:
+                req.error = (f"context overflow at admission: pos={slot.pos}"
+                             f" + prompt {len(req.prompt)} exceeds {self.S}")
+                if req.on_done is not None:
+                    req.on_done(req.out)
+                continue
             self._prefill_into(slot_idx, slot, req)
 
     def _run_prefill(self, slot_idx: int, x, pos: int,
@@ -243,6 +262,11 @@ class BatchScheduler:
         while off < n:
             chunk = min(self.prefill_chunk, n - off)
             pad = max(8, 1 << (chunk - 1).bit_length())
+            # pad rows are written to the cache at pos; keep the write
+            # inside [0, S + slack) so dynamic_update_slice never clamps
+            # (a clamped start would misalign the whole chunk and overwrite
+            # real KV history)
+            pad = min(pad, self.S + self._slack - pos)
             xt = x[off:off + chunk]
             if xt.shape[0] < pad:
                 xt = jnp.pad(xt, ((0, pad - xt.shape[0]), (0, 0)))
