@@ -226,6 +226,7 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         scale=cfg.attn_scale,
         softcap=cfg.attn_logit_softcap,
         window=cfg.sliding_window,
+        precision="fast" if cfg.matmul_impl == "fast" else "highest",
     )
     if hd_pad:
         att = att[..., : cfg.head_dim]
@@ -315,23 +316,31 @@ def forward(
     if logit_idx is None:
         return None, new_cache
 
-    xl = jax.lax.dynamic_slice(x, (logit_idx, 0), (1, cfg.dim))
+    if isinstance(logit_idx, str) and logit_idx == "all":
+        # trace-time switch: logits for EVERY row (perplexity scoring);
+        # the reference has no equivalent — it only ever projects the last
+        # token (src/transformer.rs:345-373)
+        xl = x
+    else:
+        xl = jax.lax.dynamic_slice(x, (logit_idx, 0), (1, cfg.dim))
     xl = rmsnorm(xl, params.final_norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
 
     cls = params.embed if cfg.tied_lm_head else params.lm_head
-    logits = qmatmul(xl, cls, cfg.matmul_impl)[0]
+    logits = qmatmul(xl, cls, cfg.matmul_impl)
 
     if cfg.final_logit_softcap is not None:
         cap = cfg.final_logit_softcap
         if cfg.parity_gemma_softcap_bug:
             # Replicate reference src/transformer.rs:375-381, which softcaps
             # only logits[0:dim] (loop bound is `dim`, not vocab_size).
-            head = jnp.tanh(logits[: cfg.dim] / cap) * cap
-            logits = jnp.concatenate([head, logits[cfg.dim:]])
+            head = jnp.tanh(logits[:, : cfg.dim] / cap) * cap
+            logits = jnp.concatenate([head, logits[:, cfg.dim:]], axis=-1)
         else:
             logits = jnp.tanh(logits / cap) * cap
 
-    return logits, new_cache
+    if isinstance(logit_idx, str):
+        return logits, new_cache
+    return logits[0], new_cache
 
 
 def forward_batched(
@@ -371,7 +380,9 @@ def forward_batched(
         return attention(q, k_layer[:attn_len], v_layer[:attn_len], p,
                          scale=cfg.attn_scale,
                          softcap=cfg.attn_logit_softcap,
-                         window=cfg.sliding_window)
+                         window=cfg.sliding_window,
+                         precision="fast" if cfg.matmul_impl == "fast"
+                         else "highest")
 
     k_c, v_c = cache.k, cache.v
 
