@@ -74,7 +74,9 @@ def main():
         log(f"generated in {time.time() - t0:.0f}s "
             f"({os.path.getsize(model_path) / 1e9:.2f} GB)")
 
-    log(f"devices: {jax.devices()}")
+    from lmrs_tpu.runtime.compile_cache import enable_compilation_cache
+    cdir = enable_compilation_cache()
+    log(f"devices: {jax.devices()} (compile cache: {cdir})")
     t0 = time.time()
     f = read_lmrs(model_path)
     # the .lmrs header has no runtime knobs: carry the requested matmul

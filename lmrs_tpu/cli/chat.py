@@ -79,7 +79,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     from lmrs_tpu.config import ModelType
     from lmrs_tpu.io.lmrs import read_lmrs
     from lmrs_tpu.io.params import params_from_lmrs
+    from lmrs_tpu.runtime.compile_cache import enable_compilation_cache
     from lmrs_tpu.runtime.engine import Engine, GenerationConfig
+
+    enable_compilation_cache()
     from lmrs_tpu.tokenizer import EXTRA_STOP_TOKENS, StreamDecoder, Tokenizer
 
     tokenizer = Tokenizer.from_file(args.tokenizer)

@@ -386,6 +386,8 @@ def main(argv=None):
     p.add_argument("--impl", choices=["fast", "exact"], default="fast")
     args = p.parse_args(argv)
 
+    from lmrs_tpu.runtime.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     server = BackendServer(args.model, args.tokenizer, args.temperature,
                            args.top_p, args.seed, args.multimodal,
                            args.num_crops, batch=args.batch,
