@@ -224,6 +224,208 @@ def qmatmul_pallas_gl(x: jax.Array, w: QTensor, *,
     return y.reshape(*lead, o)
 
 
+def _q8_xe_kernel(xe_ref, w_ref, s_ref, m_ref, o_ref, acc_ref, *, n_k: int,
+                  t: int):
+    """X-expansion Q8 kernel: the ONLY full-tile VPU op is the int8→bf16
+    convert, so it runs at the convert-only streaming ceiling.
+
+    Per-group scaling is restructured as
+        y[o,t] = Σ_g s[o,g] · p[o,t,g],   p = per-group partial dots,
+    where p is computed in ONE MXU pass against a block-diagonal expanded
+    activation matrix xe (K_T, T·G_T) with xe[g·gs+kk, t·G+g] = x[t, g·gs+kk]
+    (zeros elsewhere).  The scale multiply then touches only the tiny
+    (O_T, T·G_T) partial matrix, and a second small MXU dot against a
+    0/1 matrix M (T·G_T, T_pad) folds the groups per t-column.  No
+    (O_T, K_T) scale tensor is ever materialized in VMEM — that round trip
+    was the round-1 kernel's bottleneck (485 GB/s vs 766 ceiling).
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w_bf = w_ref[:].astype(jnp.bfloat16)
+    p = jax.lax.dot_general(
+        w_bf, xe_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (O_T, T·G_T)
+    s = s_ref[0]                                          # (O_T, G_T) f32
+    s_rep = s if t == 1 else jnp.concatenate([s] * t, axis=1)
+    acc_ref[:] += jax.lax.dot_general(
+        p * s_rep, m_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (O_T, T_pad)
+
+    @pl.when(j == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _q4_xe_kernel(xel_ref, xeh_ref, corr_ref, w_ref, s_ref, m_ref, o_ref,
+                  acc_ref, *, n_k: int, t: int, f32_unpack: bool):
+    """X-expansion Q4 kernel on PACKED bytes (0.5 byte/weight HBM traffic).
+
+    Nibble algebra, per byte u = lo | hi<<4 at group-half position jj of
+    group g (runtime layout, quant.unpack_q4): with h = u >> 4 and
+    lo = u − 16h,
+        (lo−8)·x_l + (hi−8)·x_h  =  lo·x_l + h·x_h − 8(x_l+x_h)
+    so the whole unpack is: one uint8→float convert, mul, floor, one fma —
+    then TWO MXU dots (lo and h against the two half-group expanded
+    activation matrices; both factors exact, no cancellation).  The
+    −8·Σ(x) term is weight-independent per group: added as a broadcast
+    row to the partial matrix before the scale multiply.  The round-1
+    kernel's float nibble-split needed ~12 full-tile VPU ops and was
+    VPU-bound (Q4 slower than Q8, backwards); this needs 4-6.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if f32_unpack:
+        u = pltpu.bitcast(w_ref[:], jnp.uint8).astype(jnp.float32)
+        h = jnp.floor(u * 0.0625)
+        lo_bf = (u - 16.0 * h).astype(jnp.bfloat16)
+        h_bf = h.astype(jnp.bfloat16)
+    else:
+        # bf16 holds integers ≤ 256 exactly and u·2^-4 is exact scaling,
+        # so the bf16 unpack is bit-identical — 4 VPU ops/byte vs 6
+        u = pltpu.bitcast(w_ref[:], jnp.uint8).astype(jnp.bfloat16)
+        h_bf = jnp.floor(u * jnp.bfloat16(0.0625))
+        lo_bf = u - jnp.bfloat16(16.0) * h_bf
+    p = (jax.lax.dot_general(
+            lo_bf, xel_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(
+            h_bf, xeh_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))          # (O_T, T·G_T)
+    p = p + corr_ref[0]                                   # −8·Σx per group
+    s = s_ref[0]
+    s_rep = s if t == 1 else jnp.concatenate([s] * t, axis=1)
+    acc_ref[:] += jax.lax.dot_general(
+        p * s_rep, m_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _fold_matrix(t: int, g_t: int, t_pad: int) -> np.ndarray:
+    """M (T·G_T, T_pad) with M[t·G_T+g, t] = 1: folds the per-group partial
+    columns of p back into per-t output columns on the MXU."""
+    m = np.zeros((t * g_t, t_pad), np.float32)
+    for tt in range(t):
+        m[tt * g_t:(tt + 1) * g_t, tt] = 1.0
+    return m
+
+
+def _build_xe(x2: jax.Array, n_k: int, k_t: int, gs: int) -> jax.Array:
+    """(T, K) activations → (n_k, K_T, T·G_T) block-diagonal expansion."""
+    t, k = x2.shape
+    g_t = k_t // gs
+    xr = x2.reshape(t, n_k, g_t, gs)
+    eye = jnp.eye(g_t, dtype=x2.dtype)
+    xe = jnp.einsum("tjgk,gh->jgkth", xr, eye)
+    return xe.reshape(n_k, k_t, t * g_t)
+
+
+def qmatmul_pallas_xe(x: jax.Array, w: QTensor, *,
+                      interpret: Optional[bool] = None,
+                      o_tile: Optional[int] = None,
+                      k_tile: Optional[int] = None,
+                      f32_unpack: bool = False) -> jax.Array:
+    """y = x @ W^T via the x-expansion kernels (decode-oriented: T ≤ ~8).
+
+    MXU cost grows with T·G_T (the expanded N dimension), so this path is
+    for matvec-shaped calls; prefill uses qmatmul_pallas/XLA."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    o = w.out_features
+    gs = w.group_size
+    x2 = x.reshape(-1, n).astype(jnp.bfloat16)
+    t = x2.shape[0]
+    t_pad = max(8, 1 << (t - 1).bit_length())
+
+    o_t = _pick_o_tile(o, o_tile or 512)
+    k_t = _pick_tile(n, k_tile or 4096, max(gs * 2, 256))
+    n_o, n_k = o // o_t, n // k_t
+    g_t = k_t // gs
+
+    s_tiled = w.s.reshape(o, n_k, g_t).transpose(1, 0, 2)  # (n_k, O, G_T)
+    m = jnp.asarray(_fold_matrix(t, g_t, t_pad))
+
+    if w.qtype == QuantType.Q8_0:
+        xe = _build_xe(x2, n_k, k_t, gs)
+        out = pl.pallas_call(
+            functools.partial(_q8_xe_kernel, n_k=n_k, t=t),
+            grid=(n_o, n_k),
+            in_specs=[
+                pl.BlockSpec((1, k_t, t * g_t), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((o_t, k_t), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, o_t, g_t), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t * g_t, t_pad), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((o_t, t_pad), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((o_t, t_pad), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(xe, w.q, s_tiled, m)
+    elif w.qtype == QuantType.Q4_0:
+        # byte jj of group g holds elements g·gs+jj (lo) and g·gs+gs/2+jj
+        # (hi); expand x_l and (x_h − 16·x_l) over HALF-group byte columns
+        half = gs // 2
+        xg = x2.reshape(t, n // gs, gs)
+        x_l = xg[:, :, :half]
+        x_h = xg[:, :, half:]
+        corr = -8.0 * jnp.sum(xg.astype(jnp.float32), axis=2)   # (T, G_tot)
+        xel = _build_xe(x_l.reshape(t, n // 2), n_k, k_t // 2, half)
+        xeh = _build_xe(x_h.reshape(t, n // 2), n_k, k_t // 2, half)
+        # corr rows laid out like p columns: (n_k, 1, T·G_T)
+        corr = corr.reshape(t, n_k, g_t).transpose(1, 0, 2) \
+                   .reshape(n_k, 1, t * g_t)
+        out = pl.pallas_call(
+            functools.partial(_q4_xe_kernel, n_k=n_k, t=t,
+                              f32_unpack=f32_unpack),
+            grid=(n_o, n_k),
+            in_specs=[
+                pl.BlockSpec((1, k_t // 2, t * g_t), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k_t // 2, t * g_t), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, t * g_t), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((o_t, k_t // 2), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, o_t, g_t), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t * g_t, t_pad), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((o_t, t_pad), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((o_t, t_pad), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(xel, xeh, corr, w.q, s_tiled, m)
+    else:
+        raise ValueError(f"xe path needs quantized weights, got {w.qtype}")
+
+    y = out.T[:t]
+    return y.reshape(*lead, o)
+
+
 def qmatmul_pallas(x: jax.Array, w: QTensor, *,
                    interpret: Optional[bool] = None,
                    o_tile: Optional[int] = None,
