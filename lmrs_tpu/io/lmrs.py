@@ -36,9 +36,19 @@ _HEADER_FMT = "<IIIIIIIIffBBIB"  # after magic+version
 _VISION_HEADER_FMT = "<IIIIIfIIBI"  # reference: export.py:134-142
 _PROCESSOR_HEADER_FMT = "<IIBI"     # reference: export.py:175-181
 SECTION_HEADER_BYTES = 128
+DEFAULT_MAX_SEQ_LEN = 32768
 
 
-def parse_header(data: memoryview) -> Tuple[ModelConfig, int]:
+def _seq_len_cap(max_seq_len: Optional[int]) -> int:
+    import os
+
+    cap = max_seq_len if max_seq_len is not None else int(
+        os.environ.get("LMRS_MAX_SEQ_LEN", str(DEFAULT_MAX_SEQ_LEN)))
+    return cap if cap > 0 else (1 << 31)
+
+
+def parse_header(data: memoryview,
+                 max_seq_len: Optional[int] = None) -> Tuple[ModelConfig, int]:
     """Parse the 256-byte header; returns (config, version)."""
     magic, version = struct.unpack_from("<II", data, 0)
     if magic != MAGIC:
@@ -59,9 +69,12 @@ def parse_header(data: memoryview) -> Tuple[ModelConfig, int]:
         ModelType(model_type),
         dim=dim, hidden_dim=hidden_dim, n_layers=n_layers, n_heads=n_heads,
         head_dim=head_dim, n_kv_heads=n_kv_heads, vocab_size=vocab_size,
-        # the reference clamps its host-RAM f32 cache to 8192
-        # (src/transformer.rs:157-160); we keep the same default limit.
-        seq_len=min(seq_len, 8192),
+        # The reference clamps seq_len to 8192 because its KV cache is
+        # host-RAM f32 (src/transformer.rs:157-160).  On TPU the cache is
+        # on-device bf16 and shardable, so the limit is only HBM-budget
+        # policy: default cap 32768, overridable per call or via
+        # LMRS_MAX_SEQ_LEN (0 = header value uncapped).
+        seq_len=min(seq_len, _seq_len_cap(max_seq_len)),
         rms_norm_eps=rms_norm_eps, rope_theta=rope_theta,
         quant=QuantType(q_type), group_size=group_size,
         multimodal=bool(multimodal), **kw,
@@ -202,10 +215,11 @@ def write_lmrs(path: str, cfg: ModelConfig, weights: Dict[str, np.ndarray],
 class LmrsFile:
     """Zero-copy view of a .lmrs file's tensors (numpy memmap)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, max_seq_len: Optional[int] = None):
         self.path = path
         self.data = np.memmap(path, dtype=np.uint8, mode="r")
-        self.cfg, self.version = parse_header(memoryview(self.data[:HEADER_BYTES]))
+        self.cfg, self.version = parse_header(
+            memoryview(self.data[:HEADER_BYTES]), max_seq_len)
         self.tensors: Dict[str, Tuple[np.ndarray, Optional[np.ndarray]]] = {}
         self.vision_cfg = None
         self.processor_cfg = None
@@ -288,5 +302,5 @@ class LmrsFile:
         return self._offset
 
 
-def read_lmrs(path: str) -> LmrsFile:
-    return LmrsFile(path)
+def read_lmrs(path: str, max_seq_len: Optional[int] = None) -> LmrsFile:
+    return LmrsFile(path, max_seq_len)

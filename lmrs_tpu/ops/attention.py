@@ -32,6 +32,7 @@ def attention(
     scale: float,
     softcap: Optional[float] = None,
     window: Optional[int] = None,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Causal grouped-query attention; returns (T, H, head_dim) float32.
 
@@ -39,20 +40,28 @@ def attention(
     t <= query position.  Gemma's sliding window masks t with
     q_pos - t > window additively (the reference applies this window in every
     layer and computes it from the query's position; src/transformer.rs:524).
+
+    precision="highest" (exact path): true-f32 MXU passes — parity with the
+    reference's f32 loops.  precision="fast": bf16 dot operands with f32
+    accumulation; at long contexts the cache dots are HBM-bound and an f32
+    upcast of a bf16 cache costs 3-6x MXU passes plus double the streamed
+    bytes, so this is the serving mode (same trade flash-attention makes).
     """
     t_q, n_heads, head_dim = q.shape
     s_len, n_kv, _ = k_cache.shape
     kv_group = n_heads // n_kv
+    fast = precision == "fast"
+    in_dtype = jnp.bfloat16 if fast else jnp.float32
+    prec = None if fast else jax.lax.Precision.HIGHEST
 
-    qg = q.astype(jnp.float32).reshape(t_q, n_kv, kv_group, head_dim)
-    k32 = k_cache.astype(jnp.float32)
-    v32 = v_cache.astype(jnp.float32)
+    qg = q.astype(in_dtype).reshape(t_q, n_kv, kv_group, head_dim)
+    k_in = k_cache.astype(in_dtype)
+    v_in = v_cache.astype(in_dtype)
 
-    # (T, KH, G, S).  HIGHEST keeps true-f32 MXU passes — the TPU default
-    # would round f32 operands to bf16, which breaks greedy parity.
-    scores = jnp.einsum("tkgd,skd->tkgs", qg, k32,
+    # (T, KH, G, S) — always accumulated in f32.
+    scores = jnp.einsum("tkgd,skd->tkgs", qg, k_in,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST) * scale
+                        precision=prec).astype(jnp.float32) * scale
 
     if softcap is not None:
         scores = jnp.tanh(scores / softcap) * softcap
@@ -72,7 +81,7 @@ def attention(
     e = jnp.exp(scores - m)
     att = e / jnp.sum(e, axis=-1, keepdims=True)
 
-    out = jnp.einsum("tkgs,skd->tkgd", att, v32,
+    out = jnp.einsum("tkgs,skd->tkgd", att.astype(in_dtype), v_in,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    return out.reshape(t_q, n_heads, head_dim)
+                     precision=prec)
+    return out.reshape(t_q, n_heads, head_dim).astype(jnp.float32)

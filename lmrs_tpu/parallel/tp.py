@@ -1,0 +1,368 @@
+"""Explicit tensor-parallelism for the FAST serving layout (shard_map).
+
+The GSPMD path (parallel/sharding.py) lets XLA partition the *stacked exact*
+forward; Pallas kernels, however, are opaque to the partitioner, so the fused
+fast layout (unrolled layers, fused [q;k;v]/[gate;up] matmuls, Pallas
+dequant kernels) runs here under `jax.shard_map` with hand-placed
+collectives — the "How to Scale Your Model" recipe for custom kernels.
+
+Megatron-style placement (reference has no distributed layer at all,
+SURVEY.md §2 — this is TPU-native surface):
+
+  wqkv   column-parallel, rows pre-ordered [q_r;k_r;v_r] per shard r so each
+         device's contiguous block is its own fused projection
+  w13    column-parallel, rows [gate_r;up_r] per shard
+  wo,w2  row-parallel (packed int4/int8 bytes AND group scales split on the
+         in axis) + psum
+  embed  vocab-sharded: masked local gather + psum for embeddings,
+         local classifier matmul + all_gather for logits
+  KV     n_kv_heads sharded; attention fully shard-local (query-head shards
+         align with kv-head shards because tp | n_kv_heads)
+
+Everything inside the shard_map body sees LOCAL shapes, so the Pallas
+kernels run unmodified on each device's block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lmrs_tpu.config import ModelConfig, ModelType
+from lmrs_tpu.models.transformer import (KVCache, LayerWeights,
+                                         TransformerParams)
+from lmrs_tpu.ops.activations import gelu_tanh, silu
+from lmrs_tpu.ops.attention import attention
+from lmrs_tpu.ops.matmul import qmatmul
+from lmrs_tpu.ops.norms import rmsnorm
+from lmrs_tpu.ops.rope import apply_rope
+from lmrs_tpu.quant import QTensor, QuantType
+
+AXIS = "tp"
+
+
+# ---------------------------------------------------------------------------
+# Parameter assembly: global arrays whose contiguous 1/tp blocks are the
+# Megatron-correct local blocks, plus matching NamedShardings/PartitionSpecs.
+# ---------------------------------------------------------------------------
+
+def _check_divisible(cfg: ModelConfig, tp: int):
+    reasons = []
+    if cfg.n_kv_heads % tp:
+        reasons.append(f"n_kv_heads {cfg.n_kv_heads} % tp")
+    if (cfg.att_dim // cfg.group_size) % tp:
+        reasons.append("att groups % tp")
+    if (cfg.hidden_dim // cfg.group_size) % tp:
+        reasons.append("hidden groups % tp")
+    if cfg.vocab_size % tp:
+        reasons.append("vocab % tp")
+    if reasons:
+        raise ValueError(f"tp={tp} incompatible: {', '.join(reasons)}")
+
+
+def _interleave_rows(parts, tp: int):
+    """[(q, s, rows), ...] → (q, s) with global row order
+    [p0_shard0; p1_shard0; ...; p0_shard1; ...]."""
+    qs, ss = [], []
+    for r in range(tp):
+        for q, s, rows in parts:
+            lo, hi = r * rows // tp, (r + 1) * rows // tp
+            qs.append(np.asarray(q)[lo:hi])
+            if s is not None:
+                ss.append(np.asarray(s)[lo:hi])
+    return (np.ascontiguousarray(np.concatenate(qs, axis=0)),
+            np.ascontiguousarray(np.concatenate(ss, axis=0)) if ss else None)
+
+
+def _qt(cfg: ModelConfig, q, s, out_f, in_f, sharding) -> QTensor:
+    if s is not None and s.ndim == 1:
+        s = s.reshape(out_f, -1)
+    if cfg.quant == QuantType.Q4_0:
+        # .lmrs file layout (adjacent nibble pairs) → runtime group-half
+        # layout, which every runtime path (Pallas kernels, unpack_q4)
+        # expects (see io/params._qtensor for the device-side equivalent)
+        from lmrs_tpu.quant import q4_file_to_runtime_np
+
+        q = q4_file_to_runtime_np(np.asarray(q), cfg.group_size)
+    qd = jax.device_put(jnp.asarray(q), sharding[0])
+    sd = None
+    if s is not None:
+        sd = jax.device_put(jnp.asarray(np.asarray(s, np.float32)),
+                            sharding[1])
+    return QTensor(qd, sd, cfg.quant, cfg.group_size, out_f, in_f)
+
+
+def build_tp_params(cfg: ModelConfig, tensors: Dict[str, tuple], mesh: Mesh,
+                    ) -> Tuple[TransformerParams, TransformerParams]:
+    """Assemble fast-layout (unrolled + fused) params for shard_map TP.
+
+    `tensors` maps .lmrs layout names to (q, s) pairs (s None when dense) —
+    the format of LmrsFile.tensors and of params_from_weights' internal dict.
+    Returns (params, spec_tree); spec_tree mirrors params with
+    PartitionSpecs (derived from each leaf's NamedSharding, so the pytree
+    structures match exactly) for shard_map in_specs.
+    """
+    from lmrs_tpu.io.params import rope_tables
+
+    tp = mesh.shape[AXIS]
+    _check_divisible(cfg, tp)
+    L, D, H = cfg.n_layers, cfg.dim, cfg.hidden_dim
+    A, KV, V = cfg.att_dim, cfg.kv_dim, cfg.vocab_size
+    gemma = cfg.model_type == ModelType.GEMMA
+
+    col = (NamedSharding(mesh, P(AXIS, None)),
+           NamedSharding(mesh, P(AXIS, None)))
+    row = (NamedSharding(mesh, P(None, AXIS)),
+           NamedSharding(mesh, P(None, AXIS)))
+    rep = NamedSharding(mesh, P())
+
+    def get(name, l):
+        q, s = tensors[f"{name}@{l}"]
+        return np.asarray(q), None if s is None else np.asarray(s)
+
+    def f32(name, l=None):
+        key = name if l is None else f"{name}@{l}"
+        return jax.device_put(
+            jnp.asarray(np.asarray(tensors[key][0], np.float32)), rep)
+
+    layers = []
+    for l in range(L):
+        q_q, q_s = get("wq", l)
+        k_q, k_s = get("wk", l)
+        v_q, v_s = get("wv", l)
+        qkv_q, qkv_s = _interleave_rows(
+            [(q_q, q_s, A), (k_q, k_s, KV), (v_q, v_s, KV)], tp)
+        g_q, g_s = get("w1", l)
+        u_q, u_s = get("w3", l)
+        w13_q, w13_s = _interleave_rows([(g_q, g_s, H), (u_q, u_s, H)], tp)
+
+        lw = LayerWeights(
+            att_norm=f32("att_norm", l),
+            wq=None, wk=None, wv=None,
+            wo=_qt(cfg, *get("wo", l), D, A, row),
+            post_att_norm=f32("post_att_norm", l),
+            pre_ffn_norm=f32("pre_ffn_norm", l) if gemma else None,
+            w1=None,
+            w2=_qt(cfg, *get("w2", l), D, H, row),
+            w3=None,
+            post_ffn_norm=f32("post_ffn_norm", l) if gemma else None,
+            wqkv=_qt(cfg, qkv_q, qkv_s, A + 2 * KV, D, col),
+            w13=_qt(cfg, w13_q, w13_s, 2 * H, D, col),
+        )
+        layers.append(lw)
+
+    vshard = (NamedSharding(mesh, P(AXIS, None)),
+              NamedSharding(mesh, P(AXIS, None)))
+    embed = _qt(cfg, np.asarray(tensors["embed"][0]),
+                None if tensors["embed"][1] is None
+                else np.asarray(tensors["embed"][1]), V, D, vshard)
+    lm_head = None
+    if cfg.model_type == ModelType.PHI:
+        lm_head = _qt(cfg, np.asarray(tensors["lm_head"][0]),
+                      None if tensors["lm_head"][1] is None
+                      else np.asarray(tensors["lm_head"][1]), V, D, vshard)
+
+    cos, sin = rope_tables(cfg)
+    params = TransformerParams(
+        embed=embed, layers=layers, final_norm=f32("final_norm"),
+        lm_head=lm_head,
+        rope_cos=jax.device_put(jnp.asarray(cos), rep),
+        rope_sin=jax.device_put(jnp.asarray(sin), rep))
+    spec = jax.tree.map(lambda a: a.sharding.spec, params)
+    return params, spec
+
+
+def tp_cache_spec() -> P:
+    """KV cache (L, S, KH, hd): kv heads on the tp axis."""
+    return P(None, None, AXIS, None)
+
+
+def init_tp_cache(cfg: ModelConfig, mesh: Mesh, dtype=jnp.bfloat16,
+                  seq_len: Optional[int] = None) -> KVCache:
+    s = seq_len or cfg.seq_len
+    shape = (cfg.n_layers, s, cfg.n_kv_heads, cfg.cache_head_dim)
+    sh = NamedSharding(mesh, tp_cache_spec())
+    return KVCache(k=jax.device_put(jnp.zeros(shape, dtype), sh),
+                   v=jax.device_put(jnp.zeros(shape, dtype), sh))
+
+
+# ---------------------------------------------------------------------------
+# The shard-local forward (runs inside shard_map; all shapes LOCAL).
+# ---------------------------------------------------------------------------
+
+def _local(qt: QTensor) -> QTensor:
+    """Rebuild QTensor metadata from the local array shapes."""
+    if qt is None:
+        return None
+    o = qt.q.shape[0]
+    if qt.qtype == QuantType.Q4_0:
+        i = qt.q.shape[1] * 2
+    else:
+        i = qt.q.shape[1]
+    return QTensor(qt.q, qt.s, qt.qtype, qt.group_size, o, i)
+
+
+def _embed_tp(params: TransformerParams, cfg: ModelConfig, tp: int,
+              tokens: jax.Array) -> jax.Array:
+    """Vocab-sharded embedding gather: local masked lookup + psum."""
+    from lmrs_tpu.quant import unpack_q4
+
+    emb = _local(params.embed)
+    vloc = emb.out_features
+    r = jax.lax.axis_index(AXIS)
+    local = tokens - r * vloc
+    ok = (local >= 0) & (local < vloc)
+    idx = jnp.clip(local, 0, vloc - 1)
+    if emb.qtype == QuantType.NONE:
+        x = emb.q[idx].astype(jnp.float32)
+    else:
+        qrows = emb.q[idx]
+        srows = emb.s[idx]
+        if emb.qtype == QuantType.Q4_0:
+            vals = unpack_q4(qrows, emb.group_size).astype(jnp.float32)
+        else:
+            vals = qrows.astype(jnp.float32)
+        gs = emb.group_size
+        g = vals.reshape(*vals.shape[:-1], vals.shape[-1] // gs, gs)
+        x = (g * srows[..., None]).reshape(tokens.shape + (cfg.dim,))
+    x = jnp.where(ok[:, None], x, 0.0)
+    x = jax.lax.psum(x, AXIS)
+    if cfg.embed_scale_by_sqrt_dim:
+        x = x * jnp.float32(math.sqrt(cfg.dim))
+    return x
+
+
+def _layer_tp(cfg: ModelConfig, tp: int, x, lw: LayerWeights, k_c, v_c,
+              layer_idx: int, cos, sin, pos, attn_len: int):
+    """One decoder layer with shard-local fused weights; x replicated."""
+    t_q = x.shape[0]
+    is_gemma = cfg.model_type == ModelType.GEMMA
+    h_loc = cfg.n_heads // tp
+    kh_loc = cfg.n_kv_heads // tp
+    a_loc = cfg.att_dim // tp
+    kv_loc = cfg.kv_dim // tp
+    hid_loc = cfg.hidden_dim // tp
+
+    xb = rmsnorm(x, lw.att_norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+
+    qkv = qmatmul(xb, _local(lw.wqkv), cfg.matmul_impl)   # (T, (A+2KV)/tp)
+    q = qkv[:, :a_loc].reshape(t_q, h_loc, cfg.head_dim)
+    k = qkv[:, a_loc:a_loc + kv_loc].reshape(t_q, kh_loc, cfg.head_dim)
+    v = qkv[:, a_loc + kv_loc:].reshape(t_q, kh_loc, cfg.head_dim)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    hd_pad = cfg.cache_head_dim - cfg.head_dim
+    if hd_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, hd_pad)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, hd_pad)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, hd_pad)))
+
+    k_c = jax.lax.dynamic_update_slice(
+        k_c, k[None].astype(k_c.dtype), (layer_idx, pos, 0, 0))
+    v_c = jax.lax.dynamic_update_slice(
+        v_c, v[None].astype(v_c.dtype), (layer_idx, pos, 0, 0))
+
+    att = attention(q, k_c[layer_idx, :attn_len], v_c[layer_idx, :attn_len],
+                    pos, scale=cfg.attn_scale,
+                    softcap=cfg.attn_logit_softcap,
+                    window=cfg.sliding_window,
+                    precision="fast" if cfg.matmul_impl == "fast"
+                    else "highest")
+    if hd_pad:
+        att = att[..., : cfg.head_dim]
+
+    o = qmatmul(att.reshape(t_q, a_loc), _local(lw.wo), cfg.matmul_impl)
+    o = jax.lax.psum(o, AXIS)                              # row-parallel
+
+    if is_gemma:
+        h = rmsnorm(o, lw.post_att_norm, cfg.rms_norm_eps, True)
+        x = x + h
+        xb2 = rmsnorm(x, lw.pre_ffn_norm, cfg.rms_norm_eps, True)
+    else:
+        x = x + o
+        xb2 = rmsnorm(x, lw.post_att_norm, cfg.rms_norm_eps, False)
+
+    gu = qmatmul(xb2, _local(lw.w13), cfg.matmul_impl)     # (T, 2H/tp)
+    gate, up = gu[:, :hid_loc], gu[:, hid_loc:]
+    act = (gelu_tanh(gate) if is_gemma else silu(gate)) * up
+    ff = qmatmul(act, _local(lw.w2), cfg.matmul_impl)
+    ff = jax.lax.psum(ff, AXIS)                            # row-parallel
+
+    if is_gemma:
+        x = x + rmsnorm(ff, lw.post_ffn_norm, cfg.rms_norm_eps, True)
+    else:
+        x = x + ff
+    return x, k_c, v_c
+
+
+def forward_tp(params: TransformerParams, cfg: ModelConfig, tp: int,
+               cache: KVCache, tokens: jax.Array, pos: jax.Array,
+               attn_len: int, logit_idx=None):
+    """Shard-local full forward: embed → layers → (all-gathered) logits.
+
+    Call INSIDE shard_map; `tokens` (T,) int32 replicated, cache local.
+    Returns (logits (V,) f32 or None, cache) — logits replicated.
+    """
+    x = _embed_tp(params, cfg, tp, tokens)
+    t_q = x.shape[0]
+    cos = jax.lax.dynamic_slice(params.rope_cos, (pos, 0),
+                                (t_q, params.rope_cos.shape[1]))
+    sin = jax.lax.dynamic_slice(params.rope_sin, (pos, 0),
+                                (t_q, params.rope_sin.shape[1]))
+    k_c, v_c = cache.k, cache.v
+    for l, lw in enumerate(params.layers):
+        x, k_c, v_c = _layer_tp(cfg, tp, x, lw, k_c, v_c, l, cos, sin, pos,
+                                attn_len)
+    new_cache = KVCache(k=k_c, v=v_c)
+    if logit_idx is None:
+        return None, new_cache
+
+    xl = jax.lax.dynamic_slice(x, (logit_idx, 0), (1, cfg.dim))
+    xl = rmsnorm(xl, params.final_norm, cfg.rms_norm_eps,
+                 cfg.norm_unit_offset)
+    cls = params.embed if cfg.tied_lm_head else params.lm_head
+    logits_loc = qmatmul(xl, _local(cls), cfg.matmul_impl)[0]  # (V/tp,)
+    logits = jax.lax.all_gather(logits_loc, AXIS, axis=0, tiled=True)
+
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        if cfg.parity_gemma_softcap_bug:
+            head = jnp.tanh(logits[: cfg.dim] / cap) * cap
+            logits = jnp.concatenate([head, logits[cfg.dim:]])
+        else:
+            logits = jnp.tanh(logits / cap) * cap
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Jitted step builders.
+# ---------------------------------------------------------------------------
+
+def make_tp_step(cfg: ModelConfig, mesh: Mesh, param_spec,
+                 attn_len: int, t: int):
+    """Jitted shard_map step: (params, cache, tokens (t,), pos) →
+    (logits, cache).  Decode is t=1; prefill chunks use t>1 with
+    logits of the last row."""
+    tp = mesh.shape[AXIS]
+
+    def step(params, cache, tokens, pos):
+        return forward_tp(params, cfg, tp, cache, tokens, pos, attn_len,
+                          logit_idx=jnp.int32(t - 1))
+
+    sm = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(param_spec,
+                  KVCache(tp_cache_spec(), tp_cache_spec()),
+                  P(), P()),
+        out_specs=(P(), KVCache(tp_cache_spec(), tp_cache_spec())),
+        check_vma=False)
+    return jax.jit(sm, donate_argnums=(1,))

@@ -1,0 +1,102 @@
+"""shard_map tensor-parallel fast path: parity vs the single-device fast
+layout on the 8-device CPU mesh.
+
+This exercises the exact serving configuration (unrolled layers, fused
+[q;k;v] and [gate;up], Pallas 'fast' matmul numerics) under tp sharding —
+the round-1 gap: the fused fast layout only ever ran single-chip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmrs_tpu.config import ModelType
+from lmrs_tpu.io.params import params_from_weights
+from lmrs_tpu.io.synthetic import random_weights, tiny_config
+from lmrs_tpu.models.transformer import forward, init_kv_cache
+from lmrs_tpu.parallel.sharding import make_mesh
+from lmrs_tpu.parallel.tp import (build_tp_params, init_tp_cache,
+                                  make_tp_step)
+from lmrs_tpu.quant import QuantType
+
+
+def _quantized_tensors(cfg, weights):
+    """weights dict (dense f32) → .lmrs-style (q, s) tensor dict."""
+    from lmrs_tpu.io.params import _quantize_dense
+
+    out = {}
+    for name, w in weights.items():
+        base = name.split("@")[0]
+        if base in ("embed", "wq", "wk", "wv", "wo", "w1", "w2", "w3",
+                    "lm_head"):
+            out[name] = _quantize_dense(cfg, w)
+        else:
+            out[name] = (w.astype(np.float32), None)
+    return out
+
+
+CASES = [
+    (ModelType.GEMMA, QuantType.Q4_0),
+    (ModelType.LLAMA, QuantType.Q8_0),
+    (ModelType.PHI, QuantType.Q8_0),
+]
+
+
+@pytest.mark.parametrize("mt,qt", CASES)
+def test_tp_matches_single_device(mt, qt):
+    tp = 4
+    kw = dict(dim=64, hidden_dim=128, n_layers=2, n_heads=8, head_dim=16,
+              n_kv_heads=4, vocab_size=512, seq_len=64, group_size=16,
+              matmul_impl="fast")
+    cfg = tiny_config(mt, qt, **kw)
+    weights = random_weights(cfg, seed=7)
+    tensors = _quantized_tensors(cfg, weights)
+
+    # single-device fast layout (unrolled + fused) reference
+    ref_params = params_from_weights(cfg, weights, stack_layers=False,
+                                     fuse_qkv=True)
+    ref_cache = init_kv_cache(cfg, jnp.float32)
+
+    mesh = make_mesh(tp=tp, dp=1, devices=jax.devices()[:tp])
+    tp_params, spec = build_tp_params(cfg, tensors, mesh)
+    tp_cache = init_tp_cache(cfg, mesh, jnp.float32)
+
+    T = 8
+    ATTN = 32
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(1, cfg.vocab_size - 1, T), jnp.int32)
+
+    # prefill chunk
+    from lmrs_tpu.models.transformer import embed_tokens
+    x = embed_tokens(ref_params, cfg, toks)
+    ref_logits, ref_cache = jax.jit(
+        lambda p, c, x: forward(p, cfg, c, x, jnp.int32(0), ATTN,
+                                jnp.int32(T - 1)))(ref_params, ref_cache, x)
+
+    step = make_tp_step(cfg, mesh, spec, attn_len=ATTN, t=T)
+    tp_logits, tp_cache = step(tp_params, tp_cache, toks, jnp.int32(0))
+
+    ref_l = np.asarray(ref_logits)
+    tp_l = np.asarray(tp_logits)
+    np.testing.assert_allclose(tp_l, ref_l, rtol=2e-2, atol=2e-2)
+    assert int(np.argmax(tp_l)) == int(np.argmax(ref_l))
+
+    # decode step from the prefilled cache
+    tok = jnp.asarray([int(np.argmax(ref_l))], jnp.int32)
+    x1 = embed_tokens(ref_params, cfg, tok)
+    ref_logits2, _ = jax.jit(
+        lambda p, c, x: forward(p, cfg, c, x, jnp.int32(T), ATTN,
+                                jnp.int32(0)))(ref_params, ref_cache, x1)
+    step1 = make_tp_step(cfg, mesh, spec, attn_len=ATTN, t=1)
+    tp_logits2, _ = step1(tp_params, tp_cache, tok, jnp.int32(T))
+    np.testing.assert_allclose(np.asarray(tp_logits2), np.asarray(ref_logits2),
+                               rtol=2e-2, atol=2e-2)
+    assert int(np.argmax(tp_logits2)) == int(np.argmax(ref_logits2))
+
+
+def test_tp_rejects_indivisible():
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, n_kv_heads=2,
+                      vocab_size=512)
+    mesh = make_mesh(tp=4, dp=1, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="tp=4 incompatible"):
+        build_tp_params(cfg, {}, mesh)
