@@ -32,6 +32,7 @@ BASELINES = {  # reference tok/s on 16-core Epyc (BASELINE.md)
     ("llama3.2-3b", "q4_0"): 17.0,
     ("llama3.2-3b", "q8_0"): 19.0,
     ("phi3.5-mini", "q8_0"): 18.0,
+    ("phi3.5-vision", "q8_0"): 17.0,  # reference README.md:41
 }
 
 
@@ -66,10 +67,17 @@ def main():
 
     os.makedirs(cache_dir, exist_ok=True)
     model_path = os.path.join(cache_dir, f"{config_name}-{quant_name}.lmrs")
+    mm_cfgs = {}
+    if cfg.multimodal:
+        from lmrs_tpu.config import phi35_vision_aux
+
+        vc, pc = phi35_vision_aux(quant, cfg.group_size)
+        mm_cfgs = dict(vision_cfg=vc, processor_cfg=pc)
     if not os.path.exists(model_path):
         log(f"generating synthetic {config_name} {quant_name} → {model_path}")
         t0 = time.time()
-        write_synthetic_lmrs(model_path + ".tmp", cfg, seed=0, log=log)
+        write_synthetic_lmrs(model_path + ".tmp", cfg, seed=0, log=log,
+                             **mm_cfgs)
         os.replace(model_path + ".tmp", model_path)
         log(f"generated in {time.time() - t0:.0f}s "
             f"({os.path.getsize(model_path) / 1e9:.2f} GB)")
@@ -112,17 +120,26 @@ def main():
     prompt = list(np.random.default_rng(0).integers(
         3, cfg.vocab_size - 1, size=n_prompt))
 
+    mm_embeds, mm_extra = None, {}
+    if cfg.multimodal:
+        mm_embeds, mm_extra = bench_image_encode(f, cfg, params)
+
+    def run_once():
+        """Full serving flow: (image prefix prefill →) prompt → decode."""
+        eng.reset()
+        if mm_embeds is not None:
+            eng.prefill_embeds(mm_embeds, want_logits=False)
+        return eng.generate(prompt, gen)
+
     # warmup: run the FULL generation length once so every attn-len bucket
     # program the timed run will touch is compiled (a mid-run bucket jump
     # would otherwise count a recompile as decode time)
     t0 = time.time()
-    warm = eng.generate(prompt, gen)
+    warm = run_once()
     log(f"warmup (compile): {time.time() - t0:.1f}s, {len(warm)} tokens")
 
     # timed run
-    eng.reset()
-    eng.metrics.ttft_seconds = None
-    out = eng.generate(prompt, gen)
+    out = run_once()
     m = eng.metrics
     toks = m.tokens_per_second
     ttft = m.ttft_seconds or 0.0
@@ -143,9 +160,71 @@ def main():
             "new_tokens": m.decode_tokens,
             "decode_chunk": decode_chunk,
             "device": str(jax.devices()[0]),
+            **mm_extra,
         },
     }
     print(json.dumps(result))
+
+
+def bench_image_encode(f, cfg, params):
+    """Time the CLIP encode of a synthetic image: batched over crops vs
+    one-crop-at-a-time (the reference claims ~3x from crop batching,
+    README.md:23).  Returns (prefix embeddings for fill_kv_cache, extras)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lmrs_tpu.io.params import vision_params_from_lmrs
+    from lmrs_tpu.models.phi3v import preprocess_image, processor_forward
+    from lmrs_tpu.models.transformer import embed_tokens
+    from lmrs_tpu.models.vision import vision_forward
+
+    vcfg, vparams, pcfg, pparams = vision_params_from_lmrs(f)
+    vcfg = dataclasses.replace(vcfg, matmul_impl=cfg.matmul_impl)
+    num_crops = int(os.environ.get("LMRS_BENCH_CROPS", "4"))
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (672, 1008, 3), np.uint8)
+    t0 = time.perf_counter()
+    patches, w_crop, h_crop, n_c = preprocess_image(img, num_crops,
+                                                    vcfg.patch_size)
+    t_pre = time.perf_counter() - t0
+    patches = jnp.asarray(patches)
+
+    vf = jax.jit(lambda p: vision_forward(vparams, vcfg, p))
+    vf1 = jax.jit(lambda p: vision_forward(vparams, vcfg, p))
+    feats = vf(patches)
+    jax.block_until_ready(feats)       # compile batched
+    jax.block_until_ready(vf1(patches[:1]))  # compile single-crop
+
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        feats = vf(patches + jnp.float32(i) * 0)
+    _ = float(jnp.sum(feats[:, 0, 0]))
+    t_batched = (time.perf_counter() - t0) / reps
+
+    t0 = time.perf_counter()
+    for i in range(reps):
+        outs = [vf1(patches[j:j + 1] + jnp.float32(i) * 0)
+                for j in range(n_c)]
+    _ = float(sum(jnp.sum(o[:, 0, 0]) for o in outs))
+    t_seq = (time.perf_counter() - t0) / reps
+
+    img_embeds = processor_forward(pparams, pcfg, feats, w_crop, h_crop)
+    prefix = embed_tokens(params, cfg,
+                          jnp.asarray([1, 32010, 29871, 13], jnp.int32))
+    embeds = jnp.concatenate([prefix, img_embeds], axis=0)
+    log(f"image encode: {n_c} crops, batched {t_batched * 1000:.0f} ms vs "
+        f"sequential {t_seq * 1000:.0f} ms ({t_seq / t_batched:.1f}x), "
+        f"preprocess {t_pre * 1000:.0f} ms, {embeds.shape[0]} embed tokens")
+    return embeds, {
+        "image_encode_ms": round(t_batched * 1000, 1),
+        "image_crops": n_c,
+        "crop_batching_speedup": round(t_seq / t_batched, 2),
+        "image_tokens": int(embeds.shape[0]),
+    }
 
 
 def bench_batched(cfg, params, config_name, quant_name, batch, n_tokens,

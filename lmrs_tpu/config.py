@@ -228,10 +228,31 @@ def phi35_mini(**kw) -> ModelConfig:
         rms_norm_eps=1e-5, rope_theta=10000.0, **kw)
 
 
+def phi35_vision(**kw) -> ModelConfig:
+    """Phi-3.5-vision: the mini text backbone + CLIP ViT-L/14-336 encoder
+    (reference README.md:41; vision header values src/vision.rs:11-24)."""
+    kw.setdefault("multimodal", True)
+    return phi35_mini(**kw)
+
+
+def phi35_vision_aux(quant, group_size: int = 128):
+    """Full-size vision + processor configs matching the reference's
+    Phi-3.5-vision export (CLIP-L dims, 4x-merged processor)."""
+    from lmrs_tpu.models.phi3v import ProcessorConfig
+    from lmrs_tpu.models.vision import VisionConfig
+
+    return (VisionConfig(dim=1024, hidden_dim=4096, n_layers=24, n_heads=16,
+                         head_dim=64, layernorm_eps=1e-5, patch_size=14,
+                         image_size=336, quant=quant, group_size=group_size),
+            ProcessorConfig(hidden_dim=4096, text_dim=3072, quant=quant,
+                            group_size=group_size))
+
+
 PRESETS = {
     "gemma2-2b": gemma2_2b,
     "gemma2-9b": gemma2_9b,
     "llama3.2-1b": llama32_1b,
     "llama3.2-3b": llama32_3b,
     "phi3.5-mini": phi35_mini,
+    "phi3.5-vision": phi35_vision,
 }

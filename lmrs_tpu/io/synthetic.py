@@ -73,17 +73,42 @@ def random_multimodal_weights(cfg: ModelConfig, vcfg, pcfg,
 
 
 def write_synthetic_lmrs(path: str, cfg: ModelConfig, seed: int = 0,
-                         scale: float = 0.02, log=None) -> None:
+                         scale: float = 0.02, log=None,
+                         vision_cfg=None, processor_cfg=None) -> None:
     """Stream a full-size random model straight to a .lmrs file, one tensor
     at a time (a Gemma-2-9B's dense f32 weights are ~37 GB — never held in
-    memory at once).  Used by the benchmark harness."""
+    memory at once).  Used by the benchmark harness.  With cfg.multimodal
+    and vision/processor configs, streams those sections too (full-scale
+    Phi-3.5-vision bench substrate)."""
     import struct
 
-    from lmrs_tpu.io.lmrs import (HEADER_BYTES, MAGIC, VERSION, _HEADER_FMT,
-                                  _tensor_layout)
+    from lmrs_tpu.io.lmrs import (HEADER_BYTES, MAGIC, SECTION_HEADER_BYTES,
+                                  VERSION, _HEADER_FMT,
+                                  _PROCESSOR_HEADER_FMT, _VISION_HEADER_FMT,
+                                  _processor_tensor_layout, _tensor_layout,
+                                  _vision_tensor_layout)
     from lmrs_tpu.quant import quantize_q40_np, quantize_q80_np
 
     rng = np.random.default_rng(seed)
+
+    def write_section(f, layout, quant, gs, norm_key="norm"):
+        for name, shape, quantized in layout:
+            if log:
+                log(f"synth {name} {shape}")
+            std = 0.05 if (norm_key in name or "ln" in name
+                           or name.endswith("_b")) else scale
+            w = rng.normal(0.0, std, size=shape).astype(np.float32)
+            if not quantized:
+                f.write(w.tobytes())
+                continue
+            if quant == QuantType.Q8_0:
+                q, s, _ = quantize_q80_np(w, gs)
+            else:
+                q, s, _ = quantize_q40_np(w, gs)
+            del w
+            f.write(q.tobytes())
+            f.write(s.astype(np.float32).tobytes())
+
     with open(path, "wb") as f:
         f.write(struct.pack("<II", MAGIC, VERSION))
         f.write(struct.pack(
@@ -92,21 +117,29 @@ def write_synthetic_lmrs(path: str, cfg: ModelConfig, seed: int = 0,
             cfg.rms_norm_eps, cfg.rope_theta, int(cfg.quant),
             int(cfg.model_type), cfg.group_size, int(cfg.multimodal)))
         f.write(b"\0" * (HEADER_BYTES - f.tell()))
-        for name, shape, quantized in _tensor_layout(cfg):
-            if log:
-                log(f"synth {name} {shape}")
-            std = 0.05 if "norm" in name else scale
-            w = rng.normal(0.0, std, size=shape).astype(np.float32)
-            if not quantized:
-                f.write(w.tobytes())
-                continue
-            if cfg.quant == QuantType.Q8_0:
-                q, s, _ = quantize_q80_np(w, cfg.group_size)
-            else:
-                q, s, _ = quantize_q40_np(w, cfg.group_size)
-            del w
-            f.write(q.tobytes())
-            f.write(s.astype(np.float32).tobytes())
+        write_section(f, _tensor_layout(cfg), cfg.quant, cfg.group_size)
+
+        if cfg.multimodal:
+            assert vision_cfg is not None and processor_cfg is not None
+            base = f.tell()
+            f.write(struct.pack(
+                _VISION_HEADER_FMT, vision_cfg.dim, vision_cfg.hidden_dim,
+                vision_cfg.n_layers, vision_cfg.n_heads, vision_cfg.head_dim,
+                vision_cfg.layernorm_eps, vision_cfg.patch_size,
+                vision_cfg.image_size, int(vision_cfg.quant),
+                vision_cfg.group_size))
+            f.write(b"\0" * (base + SECTION_HEADER_BYTES - f.tell()))
+            write_section(f, _vision_tensor_layout(vision_cfg),
+                          vision_cfg.quant, vision_cfg.group_size)
+
+            base = f.tell()
+            f.write(struct.pack(
+                _PROCESSOR_HEADER_FMT, processor_cfg.hidden_dim,
+                processor_cfg.text_dim, int(processor_cfg.quant),
+                processor_cfg.group_size))
+            f.write(b"\0" * (base + SECTION_HEADER_BYTES - f.tell()))
+            write_section(f, _processor_tensor_layout(processor_cfg),
+                          processor_cfg.quant, processor_cfg.group_size)
 
 
 def tiny_config(model_type: ModelType, quant: QuantType,

@@ -50,7 +50,7 @@ SHAPES = {
     "l1-w13": (16384, 2048),
 }
 
-N_W = 5  # weight sets rotated per chain step so HBM streaming is real
+N_W = int(os.environ.get('KBENCH_NW', '3'))  # weight sets rotated per chain step
 
 
 def _none_kernel(x_ref, w_ref, o_ref):
@@ -90,22 +90,42 @@ def _sync(v):
     return jnp.sum(v[:, :8])
 
 
-def delta_time(fn, x0, n_short=4, n_long=14, reps=7):
-    """Median per-call seconds via chained-program delta timing."""
-    f_s = jax.jit(lambda x: fn(x, n_short))
-    f_l = jax.jit(lambda x: fn(x, n_long))
+def delta_time(fn, x0, ws, n_short=40, n_long=240, reps=7):
+    """Median per-call seconds via chained-program delta timing.
 
-    def run(f):
+    ONE compiled program serves every chain length: the trip count is a
+    traced fori_loop bound (dynamic while-loop on device), and the body
+    lax.switch-es over the N_W weight sets so the module has only N_W
+    pallas call sites.  Both matter on the axon remote compiler: call-site
+    count and module count each cost minutes (a 3-site w13-shape module
+    measured 209 s; per-site inline modules were minutes PER SITE).
+    Chains are long (40/240) because per-call device time is ~0.1 ms and
+    the tunnel adds tens of ms of per-run noise to cancel out.
+    """
+    @jax.jit
+    def chain(x, ws, n):
+        def body(i, x):
+            y = jax.lax.switch(
+                i % N_W,
+                [lambda x, j=j: fn(x, ws[j]) for j in range(N_W)], x)
+            # scalar dependency keeps the (opaque) kernel call live
+            # without assuming o >= k (w2 is wide-in, narrow-out)
+            return x + 1e-30 * y[0, 0]
+        return jax.lax.fori_loop(0, n, body, x)
+
+    def run(n):
         t0 = time.perf_counter()
-        y = f(x0)
+        y = chain(x0, ws, jnp.int32(n))
         _ = float(_sync(y))
         return time.perf_counter() - t0
 
-    for _ in range(2):
-        run(f_l)
-        run(f_s)
-    ts = statistics.median([run(f_s) for _ in range(reps)])
-    tl = statistics.median([run(f_l) for _ in range(reps)])
+    t0 = time.perf_counter()
+    run(n_long)
+    print(f"    [compile+first: {time.perf_counter()-t0:.1f}s]", flush=True)
+    run(n_short)
+    run(n_long)
+    ts = statistics.median([run(n_short) for _ in range(reps)])
+    tl = statistics.median([run(n_long) for _ in range(reps)])
     return (tl - ts) / (n_long - n_short)
 
 
@@ -127,15 +147,7 @@ def make_variant(name, ws, o_tile, k_tile):
             return x @ w._dense.T
         raise ValueError(name)
 
-    k_dim = ws[0].in_features
-
-    def chain(x, n):
-        for i in range(n):
-            y = call(x, ws[i % N_W])
-            x = x + 1e-30 * y[:, :k_dim]
-        return x
-
-    return chain
+    return call
 
 
 def bench_shape(shape_name, o, k, qtype, variants, t, gs, o_tile, k_tile):
@@ -150,8 +162,10 @@ def bench_shape(shape_name, o, k, qtype, variants, t, gs, o_tile, k_tile):
         ws.append(w)
     nbytes = ws[0].q.nbytes + ws[0].s.nbytes
     x0 = jnp.asarray(rng.standard_normal((t, k)).astype(np.float32))
+    import jax as _jax
+    _jax.block_until_ready([w.q for w in ws])
     print(f"-- {shape_name} ({o}x{k}) {qtype.name} gs={gs} T={t} "
-          f"[{nbytes/1e6:.1f} MB/matrix]", flush=True)
+          f"[{nbytes/1e6:.1f} MB/matrix] (weights resident)", flush=True)
     for v in variants:
         if v.startswith("q8") and qtype != QuantType.Q8_0:
             continue
@@ -161,7 +175,7 @@ def bench_shape(shape_name, o, k, qtype, variants, t, gs, o_tile, k_tile):
             continue
         try:
             fn = make_variant(v, ws, o_tile, k_tile)
-            per = delta_time(fn, x0)
+            per = delta_time(fn, x0, ws)
             print(f"  {v:8s} {per*1e3:7.3f} ms/call  "
                   f"{nbytes/per/1e9:6.0f} GB/s", flush=True)
         except Exception as e:
