@@ -55,7 +55,8 @@ def _q4_repack_device(q: jax.Array, group_size: int) -> jax.Array:
     hi = (b >> 4) & 0x0F                          # odd elements (+8)
     vals = jnp.stack([lo, hi], axis=-1).reshape(*b.shape[:-1],
                                                 group_size)  # natural order
-    out = vals[..., :half] | (vals[..., half:] << 4)
+    # XOR 0x80 bias — see quant.unpack_q4
+    out = (vals[..., :half] | (vals[..., half:] << 4)) ^ 0x80
     return out.reshape(u.shape).astype(jnp.uint8)
 
 

@@ -119,20 +119,16 @@ def _q4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, e_ref, o_ref, acc_ref, *,
     s_rep = jnp.dot(s_ref[0].astype(jnp.bfloat16), e_ref[:],
                     preferred_element_type=jnp.float32
                     ).astype(jnp.bfloat16)
-    # Nibble unpack in pure float math: Mosaic's 8-bit integer vector ops
-    # (shrui/subi/...) fail to legalize at many tile shapes, and v5e rejects
-    # bf16 vector compares, so bitcast the bytes to int8, convert to f32
-    # (exact), and split arithmetically with no comparison:
-    #   v  = byte as signed int8 (= u - 256 when u >= 128)
-    #   z  = floor((v+256)/16);  hi = z - 16*floor(z/16)   (== u >> 4)
-    #   lo = v - 16*floor(v/16)                            (== u & 0xF)
-    # Cast to bf16 only for the scale multiply + MXU dot.
+    # Nibble unpack on the XOR-0x80 BIASED runtime bytes (quant.unpack_q4):
+    # the int8 view reads vf = u - 128 exactly, so with u = 16*hi + lo,
+    #   floor(vf/16) = hi - 8        (the stored hi value, offset applied)
+    #   vf - 16*floor(vf/16) = lo    (then -8 for the offset)
+    # — comparison-free and 3 VPU ops cheaper than the unbiased split
+    # (Mosaic on v5e has no uint8 converts and flaky 8-bit int vector ops).
     vf = pltpu.bitcast(w_ref[:], jnp.int8).astype(jnp.float32)
-    h0 = jnp.floor(vf * 0.0625)
-    z = h0 + 16.0                          # floor((v+256)/16)
-    hi_n = z - 16.0 * jnp.floor(z * 0.0625)
+    h0 = jnp.floor(vf * 0.0625)            # == hi - 8
     lo = ((vf - h0 * 16.0) - 8.0).astype(jnp.bfloat16) * s_rep
-    hi = (hi_n - 8.0).astype(jnp.bfloat16) * s_rep
+    hi = h0.astype(jnp.bfloat16) * s_rep
     acc_ref[:] += (
         jax.lax.dot_general(lo, xlo_ref[:],
                             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -264,17 +260,17 @@ def _q4_xe_kernel(xel_ref, xeh_ref, corr_ref, w_ref, s_ref, m_ref, o_ref,
                   acc_ref, *, n_k: int, t: int, f32_unpack: bool):
     """X-expansion Q4 kernel on PACKED bytes (0.5 byte/weight HBM traffic).
 
-    Nibble algebra, per byte u = lo | hi<<4 at group-half position jj of
-    group g (runtime layout, quant.unpack_q4): with h = u >> 4 and
-    lo = u − 16h,
-        (lo−8)·x_l + (hi−8)·x_h  =  lo·x_l + h·x_h − 8(x_l+x_h)
-    so the whole unpack is: one uint8→float convert, mul, floor, one fma —
-    then TWO MXU dots (lo and h against the two half-group expanded
+    Biased-byte algebra (runtime bytes store u XOR 0x80, quant.unpack_q4,
+    so the int8 view reads vf = u - 128 exactly): with u = 16*hi + lo,
+        h0 = floor(vf/16) = hi - 8,   lo = vf - 16*h0 in [0,15]
+        (lo-8)*x_l + (hi-8)*x_h  =  lo*x_l + h0*x_h - 8*x_l
+    so the whole unpack is: one int8->f32 convert, mul, floor, one fma —
+    then TWO MXU dots (lo and h0 against the two half-group expanded
     activation matrices; both factors exact, no cancellation).  The
-    −8·Σ(x) term is weight-independent per group: added as a broadcast
+    -8*sum(x_l) term is weight-independent per group: added as a broadcast
     row to the partial matrix before the scale multiply.  The round-1
     kernel's float nibble-split needed ~12 full-tile VPU ops and was
-    VPU-bound (Q4 slower than Q8, backwards); this needs 4-6.
+    VPU-bound (Q4 slower than Q8, backwards); this needs ~6.
     """
     j = pl.program_id(1)
 
@@ -283,16 +279,17 @@ def _q4_xe_kernel(xel_ref, xeh_ref, corr_ref, w_ref, s_ref, m_ref, o_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     if f32_unpack:
-        u = pltpu.bitcast(w_ref[:], jnp.uint8).astype(jnp.float32)
-        h = jnp.floor(u * 0.0625)
-        lo_bf = (u - 16.0 * h).astype(jnp.bfloat16)
-        h_bf = h.astype(jnp.bfloat16)
+        vf = pltpu.bitcast(w_ref[:], jnp.int8).astype(jnp.float32)
+        h0 = jnp.floor(vf * 0.0625)
+        lo_bf = (vf - 16.0 * h0).astype(jnp.bfloat16)
+        h_bf = h0.astype(jnp.bfloat16)
     else:
-        # bf16 holds integers ≤ 256 exactly and u·2^-4 is exact scaling,
-        # so the bf16 unpack is bit-identical — 4 VPU ops/byte vs 6
-        u = pltpu.bitcast(w_ref[:], jnp.uint8).astype(jnp.bfloat16)
-        h_bf = jnp.floor(u * jnp.bfloat16(0.0625))
-        lo_bf = u - jnp.bfloat16(16.0) * h_bf
+        # bf16 holds integers in [-128, 128] exactly and vf*2^-4 is exact
+        # scaling, so the bf16 unpack is bit-identical — fewer VPU ops if
+        # Mosaic lowers int8->bf16 converts and bf16 floor
+        vf = pltpu.bitcast(w_ref[:], jnp.int8).astype(jnp.bfloat16)
+        h_bf = jnp.floor(vf * jnp.bfloat16(0.0625))
+        lo_bf = vf - jnp.bfloat16(16.0) * h_bf
     p = (jax.lax.dot_general(
             lo_bf, xel_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -334,7 +331,7 @@ def qmatmul_pallas_xe(x: jax.Array, w: QTensor, *,
                       interpret: Optional[bool] = None,
                       o_tile: Optional[int] = None,
                       k_tile: Optional[int] = None,
-                      f32_unpack: bool = False) -> jax.Array:
+                      f32_unpack: bool = True) -> jax.Array:
     """y = x @ W^T via the x-expansion kernels (decode-oriented: T ≤ ~8).
 
     MXU cost grows with T·G_T (the expanded N dimension), so this path is
@@ -387,7 +384,9 @@ def qmatmul_pallas_xe(x: jax.Array, w: QTensor, *,
         xg = x2.reshape(t, n // gs, gs)
         x_l = xg[:, :, :half]
         x_h = xg[:, :, half:]
-        corr = -8.0 * jnp.sum(xg.astype(jnp.float32), axis=2)   # (T, G_tot)
+        # biased-byte algebra: only the lo nibble's -8 offset remains as a
+        # correction (h0 = hi-8 already carries the hi offset)
+        corr = -8.0 * jnp.sum(x_l.astype(jnp.float32), axis=2)  # (T, G_tot)
         xel = _build_xe(x_l.reshape(t, n // 2), n_k, k_t // 2, half)
         xeh = _build_xe(x_h.reshape(t, n // 2), n_k, k_t // 2, half)
         # corr rows laid out like p columns: (n_k, 1, T·G_T)

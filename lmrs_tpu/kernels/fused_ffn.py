@@ -56,14 +56,13 @@ def _dequant_bf16(w_bits, s_rep, qtype: QuantType):
     Q8: one (o, k) tile.  Q4: returns (lo, hi) halves of shape (o, k/2)."""
     if qtype == QuantType.Q8_0:
         return w_bits.astype(jnp.bfloat16) * s_rep
-    # comparison-free f32 unpack (v5e rejects bf16 vector compares; see
-    # dequant_matmul._q4_kernel for the derivation)
+    # comparison-free f32 unpack of the XOR-0x80 BIASED runtime bytes
+    # (see dequant_matmul._q4_kernel): int8 view = u - 128, so
+    # floor(vf/16) = hi - 8 directly
     vf = pltpu.bitcast(w_bits, jnp.int8).astype(jnp.float32)
     h0 = jnp.floor(vf * 0.0625)
-    z = h0 + 16.0
-    hi_n = z - 16.0 * jnp.floor(z * 0.0625)
     lo = ((vf - h0 * 16.0) - 8.0).astype(jnp.bfloat16) * s_rep
-    hi = (hi_n - 8.0).astype(jnp.bfloat16) * s_rep
+    hi = h0.astype(jnp.bfloat16) * s_rep
     return lo, hi
 
 

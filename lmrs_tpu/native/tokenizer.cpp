@@ -120,8 +120,11 @@ void lmrs_q4_repack(const uint8_t* src, uint8_t* dst, uint64_t n,
     for (uint64_t k = 0; k < hb; ++k) {
       const uint8_t a = s[k];
       const uint8_t b = s[k + hb];
-      d[2 * k] = static_cast<uint8_t>((a & 0x0F) | ((b & 0x0F) << 4));
-      d[2 * k + 1] = static_cast<uint8_t>((a >> 4) | (b & 0xF0));
+      // XOR 0x80 bias: the runtime convention stores u ^ 0x80 so the
+      // device-side int8 view reads u - 128 (see lmrs_tpu/quant.py)
+      d[2 * k] =
+          static_cast<uint8_t>(((a & 0x0F) | ((b & 0x0F) << 4)) ^ 0x80);
+      d[2 * k + 1] = static_cast<uint8_t>(((a >> 4) | (b & 0xF0)) ^ 0x80);
     }
   }
 }

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lmrs_tpu.quant import (
     QTensor,
@@ -69,8 +70,16 @@ def qmatmul(x: jax.Array, w: QTensor, impl: str = "exact") -> jax.Array:
     activation quantization.  The throughput path.
     """
     if impl == "fast" and w.qtype != QuantType.NONE:
-        from lmrs_tpu.kernels.dequant_matmul import qmatmul_pallas
+        from lmrs_tpu.kernels.dequant_matmul import (qmatmul_pallas,
+                                                     qmatmul_pallas_xe)
 
+        # Decode-shaped calls (T <= 8) use the x-expansion kernels: no
+        # full-tile VPU scale work, so they stream at the convert-only
+        # ceiling.  The expanded MXU N dim is T*(k_tile/gs); beyond T~8 it
+        # outgrows the s@E kernel, which then wins (prefill chunks).
+        t = int(np.prod(x.shape[:-1]))
+        if t <= 8:
+            return qmatmul_pallas_xe(x, w)
         return qmatmul_pallas(x, w)
     lead = x.shape[:-1]
     n = x.shape[-1]

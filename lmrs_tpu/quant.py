@@ -154,9 +154,12 @@ def unpack_q4(packed: jax.Array, group_size: int) -> jax.Array:
     the SAME group (low nibble = first half, high = second half), so a
     packed byte's two values share one scale and unpacked halves are
     block-contiguous — the fused kernels then need no element-interleaving
-    (see kernels/dequant_matmul.py)."""
+    (see kernels/dequant_matmul.py).  Runtime bytes are additionally
+    BIASED by XOR 0x80: the int8 view of a stored byte is exactly u-128,
+    which the Pallas kernels exploit for a comparison-free nibble split
+    (Mosaic on v5e has no uint8 converts)."""
     half = group_size // 2
-    u = packed.astype(jnp.uint8)
+    u = packed.astype(jnp.uint8) ^ 0x80
     lo = (u & 0x0F).astype(jnp.int8) - 8
     hi = ((u >> 4) & 0x0F).astype(jnp.int8) - 8
     g = packed.shape[-1] // half
@@ -177,7 +180,8 @@ def q4_file_to_runtime_np(packed: np.ndarray, group_size: int) -> np.ndarray:
     g = vals.reshape(*u.shape[:-1], (n2 * 2) // group_size, group_size)
     first = g[..., : group_size // 2]
     second = g[..., group_size // 2:]
-    out = (first | (second << 4)).astype(np.uint8)
+    # XOR 0x80 bias: int8 view of a runtime byte == unsigned byte - 128
+    out = ((first | (second << 4)) ^ 0x80).astype(np.uint8)
     return out.reshape(*u.shape[:-1], n2)
 
 

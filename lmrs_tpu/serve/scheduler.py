@@ -63,6 +63,12 @@ class _Slot:
     req: Optional[Request] = None
     pos: int = 0
     lease: Optional["Lease"] = None
+    # incremental admission state: a request whose prompt is being prefilled
+    # one chunk per tick (so admission never stalls active decode streams)
+    pending: Optional[Request] = None
+    pending_x: Optional[object] = None   # prompt embeddings (N, D)
+    pending_off: int = 0
+    pending_base: int = 0
 
 
 @dataclasses.dataclass
@@ -209,7 +215,8 @@ class BatchScheduler:
         return sum(1 for s in self.slots if s.req is not None)
 
     def has_work(self) -> bool:
-        return self.active > 0 or bool(self.waiting)
+        return (self.active > 0 or bool(self.waiting)
+                or any(s.pending is not None for s in self.slots))
 
     # ------------------------------------------------------------------
     def _bucket(self, needed: int) -> int:
@@ -225,11 +232,12 @@ class BatchScheduler:
             if req.lease is not None:
                 slot_idx = req.lease.slot_idx
                 slot = self.slots[slot_idx]
-                if slot.req is not None:
-                    continue  # previous turn still decoding
+                if slot.req is not None or slot.pending is not None:
+                    continue  # previous turn still decoding/prefilling
             else:
                 free = [i for i, s in enumerate(self.slots)
-                        if s.req is None and s.lease is None]
+                        if s.req is None and s.lease is None
+                        and s.pending is None]
                 if not free:
                     continue
                 slot_idx = free[0]
@@ -250,7 +258,14 @@ class BatchScheduler:
                 if req.on_done is not None:
                     req.on_done(req.out)
                 continue
-            self._prefill_into(slot_idx, slot, req)
+            # stage for incremental prefill — one chunk per tick, so active
+            # slots keep decoding while this prompt streams in
+            slot.pending = req
+            slot.pending_x = self._embed(
+                self.params,
+                tokens=jnp.asarray(np.asarray(req.prompt, np.int32)))
+            slot.pending_off = 0
+            slot.pending_base = slot.pos
 
     def _run_prefill(self, slot_idx: int, x, pos: int,
                      want_logits: bool = True):
@@ -282,24 +297,52 @@ class BatchScheduler:
             off += chunk
         return logits, pos
 
-    def _prefill_into(self, slot_idx: int, slot: _Slot, req: Request):
-        x = self._embed(self.params,
-                        tokens=jnp.asarray(np.asarray(req.prompt, np.int32)))
-        logits, pos = self._run_prefill(slot_idx, x, slot.pos)
-        # first token from prefill logits (greedy/temp handled on host for
-        # the single first step)
-        self.key, sub = jax.random.split(self.key)
-        if self.temperature == 0.0:
-            first = int(sample_argmax(logits))
-        elif self.top_p <= 0.0 or self.top_p >= 1.0:
-            first = int(sample_multinomial(logits, self.temperature, sub))
-        else:
-            first = int(sample_topp(logits, self.temperature, self.top_p,
-                                    sub))
-        req.ttft = time.perf_counter() - req.submit_time
-        slot.req = req
-        slot.pos = pos
-        self._emit(slot_idx, slot, [first])
+    def _advance_prefills(self):
+        """Run AT MOST ONE prefill chunk for every slot with a pending
+        admission, then (if its prompt is complete) activate the request.
+        Chunk-at-a-time admission bounds how long active slots go between
+        decode chunks — a 512-token prompt no longer freezes every
+        concurrent stream for its whole prefill."""
+        for slot_idx, slot in enumerate(self.slots):
+            req = slot.pending
+            if req is None:
+                continue
+            x = slot.pending_x
+            n = x.shape[0]
+            off = slot.pending_off
+            chunk = min(self.prefill_chunk, n - off)
+            pad = max(8, 1 << (chunk - 1).bit_length())
+            pad = min(pad, self.S + self._slack - slot.pos)
+            xt = x[off:off + chunk]
+            if xt.shape[0] < pad:
+                xt = jnp.pad(xt, ((0, pad - xt.shape[0]), (0, 0)))
+            attn_len = self._bucket(slot.pos + pad)
+            last = off + chunk >= n
+            logits, k, v = self._prefill_slot(
+                self.params, self.cache.k, self.cache.v, xt,
+                jnp.int32(slot_idx), jnp.int32(slot.pos),
+                jnp.int32(chunk - 1), attn_len=attn_len,
+                want_logits=last)
+            self.cache = KVCache(k, v)
+            slot.pos += chunk
+            slot.pending_off = off + chunk
+            if not last:
+                continue
+            # prompt complete: sample the first token, activate
+            self.key, sub = jax.random.split(self.key)
+            if self.temperature == 0.0:
+                first = int(sample_argmax(logits))
+            elif self.top_p <= 0.0 or self.top_p >= 1.0:
+                first = int(sample_multinomial(logits, self.temperature,
+                                               sub))
+            else:
+                first = int(sample_topp(logits, self.temperature,
+                                        self.top_p, sub))
+            req.ttft = time.perf_counter() - req.submit_time
+            slot.pending = None
+            slot.pending_x = None
+            slot.req = req
+            self._emit(slot_idx, slot, [first])
 
     def _emit(self, slot_idx: int, slot: _Slot, toks: List[int]) -> int:
         """Append tokens to the slot's request, stopping at stop tokens or
@@ -327,9 +370,11 @@ class BatchScheduler:
 
     # ------------------------------------------------------------------
     def step(self):
-        """One scheduler tick: admit waiting requests, then run one decode
-        chunk for all active slots."""
+        """One scheduler tick: admit waiting requests (staging them for
+        incremental prefill), advance each pending prefill by one chunk,
+        then run one decode chunk for all active slots."""
         self._admit()
+        self._advance_prefills()
         active = [(i, s) for i, s in enumerate(self.slots)
                   if s.req is not None]
         if not active:

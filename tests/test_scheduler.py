@@ -190,3 +190,55 @@ def test_idle_lease_survives_other_traffic(model):
     sched.end_conversation(lease)
     assert done["t1"] == turn1
     assert done["t2"] == turn2, (done["t2"], turn2)
+
+
+def test_admission_does_not_stall_active_streams(model):
+    """While a long prompt is being admitted, already-active slots must keep
+    emitting tokens (prefill advances one chunk per tick instead of running
+    to completion synchronously)."""
+    cfg, params = model
+    sched = BatchScheduler(cfg, params, max_batch=2, max_ctx=128,
+                           cache_dtype=jnp.float32, prefill_chunk=8,
+                           decode_chunk=4, min_attn_bucket=32,
+                           temperature=0.0)
+    a_tokens = []
+    sched.submit([1, 2, 3], max_new_tokens=80, on_token=a_tokens.append)
+    # let A start decoding
+    for _ in range(3):
+        sched.step()
+    a_before = len(a_tokens)
+    assert a_before > 0
+    # B's 64-token prompt needs 8 prefill chunks; pre-fix the whole prefill
+    # ran inside one tick, freezing A for all of it
+    b_prompt = list(np.random.default_rng(5).integers(1, 250, 64))
+    b = sched.submit(b_prompt, max_new_tokens=4)
+    ticks_until_b = 0
+    while not b.out and ticks_until_b < 20:
+        sched.step()
+        ticks_until_b += 1
+    # admission took several ticks (one prefill chunk each) ...
+    assert ticks_until_b >= 8, ticks_until_b
+    # ... and A kept producing tokens across every one of those ticks
+    a_during = len(a_tokens) - a_before
+    assert a_during >= (ticks_until_b - 1) * 4, (a_during, ticks_until_b)
+
+
+def test_admission_interleaving_keeps_parity(model):
+    """Token parity vs the single-stream engine must survive interleaved
+    admission (prefill chunks of B between decode chunks of A)."""
+    cfg, params = model
+    want = _engine_outputs(cfg, params)
+
+    sched = BatchScheduler(cfg, params, max_batch=2, max_ctx=64,
+                           cache_dtype=jnp.float32, prefill_chunk=8,
+                           decode_chunk=4, min_attn_bucket=32,
+                           temperature=0.0)
+    done = {}
+    sched.submit(PROMPTS[0], max_new_tokens=N_NEW,
+                 on_done=lambda out: done.setdefault(0, out))
+    sched.step()  # A active
+    sched.submit(PROMPTS[2], max_new_tokens=N_NEW,
+                 on_done=lambda out: done.setdefault(2, out))
+    sched.run()
+    assert done[0] == want[0]
+    assert done[2] == want[2]
