@@ -1,0 +1,53 @@
+"""Multi-host (multi-process) path actually executed: 2 jax.distributed
+processes x 4 virtual CPU devices run a GSPMD-sharded decode step over a
+(dp=2, tp=4) global mesh.
+
+This is the in-environment stand-in for a 2-host pod slice: the tp
+collectives cross process boundaries through the distributed runtime
+(round-1 gap: parallel/distributed.py was never executed anywhere)."""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_decode():
+    worker = Path(__file__).parent / "multihost_worker.py"
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES",
+                        "PYTHONPATH")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), coord, "2", str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("WORKER_RESULT"):
+                _, pid, tok = line.split()
+                results[int(pid)] = int(tok)
+    assert sorted(results.keys()) == [0, 1], (results, outs)
+    # replicated logits ⇒ both processes agree on the next token
+    assert results[0] == results[1], results
