@@ -90,16 +90,17 @@ def main():
     # the .lmrs header has no runtime knobs: carry the requested matmul
     # implementation into the runtime config (f.cfg alone would silently
     # run the slow integer-exact parity path)
-    # one Pallas call per FFN ([gate;up] -> GLU -> down): with the current
-    # tile/VMEM settings it measures equal-or-better on every config
-    # (gemma-9b 33.9 -> 34.5 tok/s), so it's on by default
+    # The one-call fused FFN kernel still applies scales via the full-tile
+    # s@E path; the unfused [gate;up]/w2 matmuls go through the x-expansion
+    # kernels, which measure far faster (gemma-9b Q4 packed: 48.6 vs 37.8
+    # tok/s) — so fusion is OFF by default until the FFN kernel is ported
     fuse_ffn = (impl == "fast"
-                and os.environ.get("LMRS_BENCH_FUSE_FFN", "1") == "1")
-    # Q4 expands to int8 in HBM by default on the fast path: the packed-Q4
-    # kernel is VPU-bound on v5e, so 2x bytes at Q8-kernel speed wins
-    # (bit-identical numerics; set LMRS_BENCH_Q4_INT8=0 for packed-resident)
+                and os.environ.get("LMRS_BENCH_FUSE_FFN", "0") == "1")
+    # Packed-resident Q4 now BEATS int8 expansion (the xe kernels stream
+    # packed bytes at speed): 48.6 tok/s packed vs 34.4 expanded on
+    # gemma-9b.  LMRS_BENCH_Q4_INT8=1 restores the old expansion.
     q4_int8 = (impl == "fast"
-               and os.environ.get("LMRS_BENCH_Q4_INT8", "1") == "1")
+               and os.environ.get("LMRS_BENCH_Q4_INT8", "0") == "1")
     f.cfg = f.cfg.replace(matmul_impl=impl, fuse_ffn=fuse_ffn)
     layout = os.environ.get("LMRS_BENCH_LAYOUT", "unrolled")
     params = params_from_lmrs(f, stack_layers=(layout != "unrolled"),
@@ -157,6 +158,8 @@ def main():
         "extra": {
             "ttft_ms_p50": round(ttft * 1000, 1),
             "prompt_tokens": n_prompt,
+            "prefill_tok_s": (round(m.prefill_tokens / m.prefill_seconds, 1)
+                              if m.prefill_seconds else None),
             "new_tokens": m.decode_tokens,
             "decode_chunk": decode_chunk,
             "device": str(jax.devices()[0]),

@@ -127,7 +127,7 @@ class Engine:
         params: TransformerParams,
         cache_dtype=jnp.bfloat16,
         min_attn_bucket: int = 256,
-        prefill_chunk: int = 64,
+        prefill_chunk: int = 256,
         decode_chunk: int = 8,
         cache_sharding=None,
     ):
