@@ -102,9 +102,13 @@ def main():
     q4_int8 = (impl == "fast"
                and os.environ.get("LMRS_BENCH_Q4_INT8", "0") == "1")
     f.cfg = f.cfg.replace(matmul_impl=impl, fuse_ffn=fuse_ffn)
-    layout = os.environ.get("LMRS_BENCH_LAYOUT", "unrolled")
+    # layouts: "scan" (default) = stacked weights + fused qkv/w13, ONE
+    # compiled layer body with scalar-prefetch stacked kernels (fast compile,
+    # no per-layer copies); "unrolled" = per-layer call sites (round-1 style);
+    # "stacked" = stacked exact/XLA path
+    layout = os.environ.get("LMRS_BENCH_LAYOUT", "scan")
     params = params_from_lmrs(f, stack_layers=(layout != "unrolled"),
-                              fuse_qkv=(layout == "unrolled"),
+                              fuse_qkv=(layout in ("unrolled", "scan")),
                               fuse_ffn=fuse_ffn, q4_as_int8=q4_int8)
     jax.block_until_ready(jax.tree_util.tree_leaves(params))
     log(f"load+transfer: {time.time() - t0:.1f}s")

@@ -425,6 +425,228 @@ def qmatmul_pallas_xe(x: jax.Array, w: QTensor, *,
     return y.reshape(*lead, o)
 
 
+def _q8_xe_stacked_kernel(l_ref, xe_ref, w_ref, s_ref, m_ref, o_ref, *,
+                          t: int):
+    """Stacked-layer xe kernel: weights carry a leading (L,) axis and the
+    layer index arrives via scalar prefetch, so ONE pallas call site serves
+    every layer of a lax.scan — the axon remote compiler's cost scales with
+    call-site count (an unrolled 42-layer program pays minutes of compile),
+    and scan xs-slicing of weights would copy each layer through HBM before
+    the opaque kernel call.  The block index map reads the layer directly."""
+    w_bf = w_ref[0].astype(jnp.bfloat16)
+    p = jax.lax.dot_general(
+        w_bf, xe_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (O_T, T·G)
+    s = s_ref[0]                                          # (O_T, G)
+    s_rep = s if t == 1 else jnp.concatenate([s] * t, axis=1)
+    o_ref[:] = jax.lax.dot_general(
+        p * s_rep, m_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (O_T, T_pad)
+
+
+def _q4_xe_stacked_kernel(l_ref, xel_ref, xeh_ref, corr_ref, w_ref, s_ref,
+                          m_ref, o_ref, *, t: int):
+    vf = pltpu.bitcast(w_ref[0], jnp.int8).astype(jnp.float32)
+    h0 = jnp.floor(vf * 0.0625)
+    lo_bf = (vf - 16.0 * h0).astype(jnp.bfloat16)
+    h_bf = h0.astype(jnp.bfloat16)
+    p = (jax.lax.dot_general(
+            lo_bf, xel_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(
+            h_bf, xeh_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    p = p + corr_ref[:]
+    s = s_ref[0]
+    s_rep = s if t == 1 else jnp.concatenate([s] * t, axis=1)
+    o_ref[:] = jax.lax.dot_general(
+        p * s_rep, m_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _q8_se_stacked_kernel(l_ref, x_ref, w_ref, s_ref, e_ref, o_ref):
+    """Stacked s@E kernel (prefill: T too large for the xe expansion)."""
+    s_rep = jnp.dot(s_ref[0].astype(jnp.bfloat16), e_ref[:],
+                    preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+    w_bf = w_ref[0].astype(jnp.bfloat16) * s_rep
+    o_ref[:] = jax.lax.dot_general(
+        w_bf, x_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _q4_se_stacked_kernel(l_ref, xlo_ref, xhi_ref, w_ref, s_ref, e_ref,
+                          o_ref):
+    s_rep = jnp.dot(s_ref[0].astype(jnp.bfloat16), e_ref[:],
+                    preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+    vf = pltpu.bitcast(w_ref[0], jnp.int8).astype(jnp.float32)
+    h0 = jnp.floor(vf * 0.0625)
+    lo = ((vf - h0 * 16.0) - 8.0).astype(jnp.bfloat16) * s_rep
+    hi = h0.astype(jnp.bfloat16) * s_rep
+    o_ref[:] = (
+        jax.lax.dot_general(lo, xlo_ref[:],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(hi, xhi_ref[:],
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32))
+
+
+def qmatmul_pallas_stacked(x: jax.Array, w: QTensor, layer_idx, *,
+                           interpret: Optional[bool] = None) -> jax.Array:
+    """y = x @ W[layer]^T for layer-stacked quantized weights (L, O, in).
+
+    Single K pass (decode/prefill matrices all fit a (o_t, K) VMEM block),
+    grid over O tiles only.  T ≤ 8 → xe kernels; larger → s@E kernels."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    L = w.q.shape[0]
+    o = w.out_features
+    gs = w.group_size
+    g_tot = n // gs
+    x2 = x.reshape(-1, n).astype(jnp.bfloat16)
+    t = x2.shape[0]
+    o_t = _pick_o_tile(o, 512)
+    n_o = o // o_t
+    l_arr = jnp.asarray([layer_idx], jnp.int32)
+    s3 = w.s  # (L, O, G)
+
+    if t <= 8:
+        t_pad = 8
+        m = jnp.asarray(_fold_matrix(t, g_tot, t_pad))
+        if w.qtype == QuantType.Q8_0:
+            xe = _build_xe(x2, 1, n, gs)[0]          # (K, T·G)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_o,),
+                in_specs=[
+                    pl.BlockSpec((n, t * g_tot), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, o_t, n), lambda i, l: (l[0], i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, o_t, g_tot), lambda i, l: (l[0], i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((t * g_tot, t_pad), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((o_t, t_pad), lambda i, l: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            )
+            out = pl.pallas_call(
+                functools.partial(_q8_xe_stacked_kernel, t=t),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024),
+                interpret=interpret,
+            )(l_arr, xe, w.q, s3, m)
+        else:
+            half = gs // 2
+            xg = x2.reshape(t, g_tot, gs)
+            x_l = xg[:, :, :half]
+            x_h = xg[:, :, half:]
+            corr = (-8.0 * jnp.sum(x_l.astype(jnp.float32), axis=2)
+                    ).reshape(1, t * g_tot)
+            xel = _build_xe(x_l.reshape(t, n // 2), 1, n // 2, half)[0]
+            xeh = _build_xe(x_h.reshape(t, n // 2), 1, n // 2, half)[0]
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_o,),
+                in_specs=[
+                    pl.BlockSpec((n // 2, t * g_tot), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n // 2, t * g_tot), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, t * g_tot), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, o_t, n // 2), lambda i, l: (l[0], i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, o_t, g_tot), lambda i, l: (l[0], i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((t * g_tot, t_pad), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((o_t, t_pad), lambda i, l: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            )
+            out = pl.pallas_call(
+                functools.partial(_q4_xe_stacked_kernel, t=t),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024),
+                interpret=interpret,
+            )(l_arr, xel, xeh, corr, w.q, s3, m)
+    else:
+        t_pad = max(8, 1 << (t - 1).bit_length())
+        if t_pad != t:
+            x2 = jnp.pad(x2, ((0, t_pad - t), (0, 0)))
+        if w.qtype == QuantType.Q8_0:
+            e = jnp.asarray(_expansion_matrix(g_tot, n), jnp.bfloat16)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_o,),
+                in_specs=[
+                    pl.BlockSpec((t_pad, n), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, o_t, n), lambda i, l: (l[0], i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, o_t, g_tot), lambda i, l: (l[0], i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((g_tot, n), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((o_t, t_pad), lambda i, l: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            )
+            out = pl.pallas_call(
+                _q8_se_stacked_kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024),
+                interpret=interpret,
+            )(l_arr, x2, w.q, s3, e)
+        else:
+            half = gs // 2
+            xg = x2.reshape(t_pad, g_tot, gs)
+            x_lo = xg[:, :, :half].reshape(t_pad, n // 2)
+            x_hi = xg[:, :, half:].reshape(t_pad, n // 2)
+            e = jnp.asarray(_expansion_matrix(g_tot, n // 2), jnp.bfloat16)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_o,),
+                in_specs=[
+                    pl.BlockSpec((t_pad, n // 2), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((t_pad, n // 2), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, o_t, n // 2), lambda i, l: (l[0], i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, o_t, g_tot), lambda i, l: (l[0], i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((g_tot, n // 2), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((o_t, t_pad), lambda i, l: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            )
+            out = pl.pallas_call(
+                _q4_se_stacked_kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024),
+                interpret=interpret,
+            )(l_arr, x_lo, x_hi, w.q, s3, e)
+
+    y = out.T[:t]
+    return y.reshape(*lead, o)
+
+
 def qmatmul_pallas(x: jax.Array, w: QTensor, *,
                    interpret: Optional[bool] = None,
                    o_tile: Optional[int] = None,

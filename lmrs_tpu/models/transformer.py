@@ -165,7 +165,8 @@ def _unpermute_w13_cols(cfg: ModelConfig, w13: QTensor,
 def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
            k_cache: jax.Array, v_cache: jax.Array, layer_idx: jax.Array,
            cos: jax.Array, sin: jax.Array, pos: jax.Array,
-           attn_len: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+           attn_len: int, stacked_idx=None
+           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One decoder layer over T tokens.  Returns (x, k_cache, v_cache).
 
     The FULL stacked (L, S, KH, hd) cache is threaded through (scan carry),
@@ -181,14 +182,14 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
     xb = rmsnorm(x, lw.att_norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
 
     if lw.wqkv is not None:
-        qkv = qmatmul(xb, lw.wqkv, cfg.matmul_impl)
+        qkv = qmatmul(xb, lw.wqkv, cfg.matmul_impl, layer_idx=stacked_idx)
         q = qkv[:, : cfg.att_dim]
         k = qkv[:, cfg.att_dim: cfg.att_dim + cfg.kv_dim]
         v = qkv[:, cfg.att_dim + cfg.kv_dim:]
     else:
-        q = qmatmul(xb, lw.wq, cfg.matmul_impl)
-        k = qmatmul(xb, lw.wk, cfg.matmul_impl)
-        v = qmatmul(xb, lw.wv, cfg.matmul_impl)
+        q = qmatmul(xb, lw.wq, cfg.matmul_impl, layer_idx=stacked_idx)
+        k = qmatmul(xb, lw.wk, cfg.matmul_impl, layer_idx=stacked_idx)
+        v = qmatmul(xb, lw.wv, cfg.matmul_impl, layer_idx=stacked_idx)
     q = q.reshape(t_q, cfg.n_heads, cfg.head_dim)
     k = k.reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
     v = v.reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
@@ -231,7 +232,8 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
     if hd_pad:
         att = att[..., : cfg.head_dim]
 
-    o = qmatmul(att.reshape(t_q, cfg.att_dim), lw.wo, cfg.matmul_impl)
+    o = qmatmul(att.reshape(t_q, cfg.att_dim), lw.wo, cfg.matmul_impl,
+                layer_idx=stacked_idx)
 
     if is_gemma:
         # post-attention norm BEFORE the residual add, then pre-FFN norm
@@ -246,21 +248,25 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
     # Fused one-call FFN only at decode-sized T: its y13/g VMEM scratch
     # scales with T (prefill chunks OOM scoped VMEM), and per-call overhead
     # — the thing fusion removes — amortizes over T in prefill anyway.
-    if lw.w13 is not None and cfg.fuse_ffn and t_q <= 16:
+    if (lw.w13 is not None and cfg.fuse_ffn and t_q <= 16
+            and stacked_idx is None):
         from lmrs_tpu.kernels.fused_ffn import ffn_fused_pallas
 
         ff = ffn_fused_pallas(xb2, lw.w13, lw.w2,
                               act="gelu" if is_gemma else "silu")
     else:
         if lw.w13 is not None:
-            gu = qmatmul(xb2, lw.w13, cfg.matmul_impl)
+            gu = qmatmul(xb2, lw.w13, cfg.matmul_impl,
+                         layer_idx=stacked_idx)
             gu = _unpermute_w13_cols(cfg, lw.w13, gu)
             gate, up = gu[:, : cfg.hidden_dim], gu[:, cfg.hidden_dim:]
         else:
-            gate = qmatmul(xb2, lw.w1, cfg.matmul_impl)
-            up = qmatmul(xb2, lw.w3, cfg.matmul_impl)
+            gate = qmatmul(xb2, lw.w1, cfg.matmul_impl,
+                           layer_idx=stacked_idx)
+            up = qmatmul(xb2, lw.w3, cfg.matmul_impl,
+                         layer_idx=stacked_idx)
         act = (gelu_tanh(gate) if is_gemma else silu(gate)) * up
-        ff = qmatmul(act, lw.w2, cfg.matmul_impl)
+        ff = qmatmul(act, lw.w2, cfg.matmul_impl, layer_idx=stacked_idx)
 
     if is_gemma:
         # post-FFN norm before the residual add (reference: src/transformer.rs:643-650)
@@ -302,6 +308,30 @@ def forward(
             x, k_c, v_c = _layer(cfg, x, lw, k_c, v_c, l, cos, sin, pos,
                                  attn_len)
         k_new, v_new = k_c, v_c
+    elif (cfg.matmul_impl == "fast" and params.layers.wqkv is not None
+          and params.layers.wqkv.q.ndim == 3):
+        # scan-fast layout: big weights stay OUTSIDE the scan (the stacked
+        # Pallas kernels index the layer via scalar prefetch — no per-layer
+        # HBM copies, and the program has ~5 kernel call sites instead of
+        # layers*4, which on the axon remote compiler is minutes of compile)
+        layers = params.layers
+        norm_xs = (layers.att_norm, layers.post_att_norm,
+                   layers.pre_ffn_norm, layers.post_ffn_norm)
+
+        def body(carry, xs):
+            h, k_c, v_c, l = carry
+            an, pan, pfn, pfn2 = xs
+            lw = LayerWeights(
+                att_norm=an, wq=None, wk=None, wv=None, wo=layers.wo,
+                post_att_norm=pan, pre_ffn_norm=pfn, w1=None, w2=layers.w2,
+                w3=None, post_ffn_norm=pfn2, wqkv=layers.wqkv,
+                w13=layers.w13)
+            h, k_c, v_c = _layer(cfg, h, lw, k_c, v_c, l, cos, sin, pos,
+                                 attn_len, stacked_idx=l)
+            return (h, k_c, v_c, l + 1), None
+
+        (x, k_new, v_new, _), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v, jnp.int32(0)), norm_xs)
     else:
         def body(carry, lw):
             h, k_c, v_c, l = carry

@@ -55,7 +55,8 @@ def _group_dot(xq: jax.Array, xs: jax.Array, wq: jax.Array, ws: jax.Array,
     return jnp.sum(scaled, axis=0)
 
 
-def qmatmul(x: jax.Array, w: QTensor, impl: str = "exact") -> jax.Array:
+def qmatmul(x: jax.Array, w: QTensor, impl: str = "exact",
+            layer_idx=None) -> jax.Array:
     """y = x @ W^T for a quantized weight matrix W of logical shape (out, in).
 
     `x` is float (..., in); returns float32 (..., out).
@@ -71,8 +72,14 @@ def qmatmul(x: jax.Array, w: QTensor, impl: str = "exact") -> jax.Array:
     """
     if impl == "fast" and w.qtype != QuantType.NONE:
         from lmrs_tpu.kernels.dequant_matmul import (qmatmul_pallas,
+                                                     qmatmul_pallas_stacked,
                                                      qmatmul_pallas_xe)
 
+        if layer_idx is not None and w.q.ndim == 3:
+            # layer-stacked weights + scalar-prefetched layer index: one
+            # pallas call site serves every layer of a lax.scan (minutes
+            # of per-call-site compile saved on the axon remote compiler)
+            return qmatmul_pallas_stacked(x, w, layer_idx)
         # Decode-shaped calls (T <= 8) use the x-expansion kernels: no
         # full-tile VPU scale work, so they stream at the convert-only
         # ceiling.  The expanded MXU N dim is T*(k_tile/gs); beyond T~8 it
