@@ -416,17 +416,18 @@ def forward_batched(
 
     k_c, v_c = cache.k, cache.v
 
-    def one_layer(x, lw, l, k_c, v_c):
+    def one_layer(x, lw, l, k_c, v_c, stacked_idx=None):
         xb = rmsnorm(x, lw.att_norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
         if lw.wqkv is not None:
-            qkv = qmatmul(xb, lw.wqkv, cfg.matmul_impl)
+            qkv = qmatmul(xb, lw.wqkv, cfg.matmul_impl,
+                          layer_idx=stacked_idx)
             q = qkv[:, : cfg.att_dim]
             k = qkv[:, cfg.att_dim: cfg.att_dim + cfg.kv_dim]
             v = qkv[:, cfg.att_dim + cfg.kv_dim:]
         else:
-            q = qmatmul(xb, lw.wq, cfg.matmul_impl)
-            k = qmatmul(xb, lw.wk, cfg.matmul_impl)
-            v = qmatmul(xb, lw.wv, cfg.matmul_impl)
+            q = qmatmul(xb, lw.wq, cfg.matmul_impl, layer_idx=stacked_idx)
+            k = qmatmul(xb, lw.wk, cfg.matmul_impl, layer_idx=stacked_idx)
+            v = qmatmul(xb, lw.wv, cfg.matmul_impl, layer_idx=stacked_idx)
         q = q.reshape(b, cfg.n_heads, cfg.head_dim)
         k = k.reshape(b, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(b, cfg.n_kv_heads, cfg.head_dim)
@@ -464,7 +465,8 @@ def forward_batched(
         if hd_pad:
             att = att[..., : cfg.head_dim]
 
-        o = qmatmul(att.reshape(b, cfg.att_dim), lw.wo, cfg.matmul_impl)
+        o = qmatmul(att.reshape(b, cfg.att_dim), lw.wo, cfg.matmul_impl,
+                    layer_idx=stacked_idx)
         if is_gemma:
             h = rmsnorm(o, lw.post_att_norm, cfg.rms_norm_eps, True)
             x = x + h
@@ -472,21 +474,26 @@ def forward_batched(
         else:
             x = x + o
             xb2 = rmsnorm(x, lw.post_att_norm, cfg.rms_norm_eps, False)
-        if lw.w13 is not None and cfg.fuse_ffn and b <= 16:
+        if (lw.w13 is not None and cfg.fuse_ffn and b <= 16
+                and stacked_idx is None):
             from lmrs_tpu.kernels.fused_ffn import ffn_fused_pallas
 
             ff = ffn_fused_pallas(xb2, lw.w13, lw.w2,
                                   act="gelu" if is_gemma else "silu")
         else:
             if lw.w13 is not None:
-                gu = qmatmul(xb2, lw.w13, cfg.matmul_impl)
+                gu = qmatmul(xb2, lw.w13, cfg.matmul_impl,
+                             layer_idx=stacked_idx)
                 gu = _unpermute_w13_cols(cfg, lw.w13, gu)
                 gate, up = gu[:, : cfg.hidden_dim], gu[:, cfg.hidden_dim:]
             else:
-                gate = qmatmul(xb2, lw.w1, cfg.matmul_impl)
-                up = qmatmul(xb2, lw.w3, cfg.matmul_impl)
+                gate = qmatmul(xb2, lw.w1, cfg.matmul_impl,
+                               layer_idx=stacked_idx)
+                up = qmatmul(xb2, lw.w3, cfg.matmul_impl,
+                             layer_idx=stacked_idx)
             act = (gelu_tanh(gate) if is_gemma else silu(gate)) * up
-            ff = qmatmul(act, lw.w2, cfg.matmul_impl)
+            ff = qmatmul(act, lw.w2, cfg.matmul_impl,
+                         layer_idx=stacked_idx)
         if is_gemma:
             x = x + rmsnorm(ff, lw.post_ffn_norm, cfg.rms_norm_eps, True)
         else:
@@ -496,6 +503,26 @@ def forward_batched(
     if unrolled:
         for l, lw in enumerate(layers):
             x, k_c, v_c = one_layer(x, lw, l, k_c, v_c)
+    elif (cfg.matmul_impl == "fast" and layers.wqkv is not None
+          and layers.wqkv.q.ndim == 3):
+        # scan-fast: stacked kernels select the layer via scalar prefetch
+        # (see forward) — batched decode gets the same fast-compile path
+        norm_xs = (layers.att_norm, layers.post_att_norm,
+                   layers.pre_ffn_norm, layers.post_ffn_norm)
+
+        def body(carry, xs):
+            h, k_c, v_c, l = carry
+            an, pan, pfn, pfn2 = xs
+            lw = LayerWeights(
+                att_norm=an, wq=None, wk=None, wv=None, wo=layers.wo,
+                post_att_norm=pan, pre_ffn_norm=pfn, w1=None, w2=layers.w2,
+                w3=None, post_ffn_norm=pfn2, wqkv=layers.wqkv,
+                w13=layers.w13)
+            h, k_c, v_c = one_layer(h, lw, l, k_c, v_c, stacked_idx=l)
+            return (h, k_c, v_c, l + 1), None
+
+        (x, k_c, v_c, _), _ = jax.lax.scan(
+            body, (x, k_c, v_c, jnp.int32(0)), norm_xs)
     else:
         def body(carry, lw):
             h, k_c, v_c, l = carry

@@ -36,5 +36,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     # >1s default — decode-step specializations are many and medium-sized
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # log WHY a program missed the cache (warmup on the axon tunnel costs
+    # minutes per big program; silent misses are undebuggable)
+    jax.config.update("jax_explain_cache_misses", True)
     _enabled = True
     return d
