@@ -493,8 +493,14 @@ def _q4_se_stacked_kernel(l_ref, xlo_ref, xhi_ref, w_ref, s_ref, e_ref,
                               preferred_element_type=jnp.float32))
 
 
+import os
+
+_STACKED_O_TILE = int(os.environ.get("LMRS_XE_OTILE", "512"))
+
+
 def qmatmul_pallas_stacked(x: jax.Array, w: QTensor, layer_idx, *,
-                           interpret: Optional[bool] = None) -> jax.Array:
+                           interpret: Optional[bool] = None,
+                           o_tile: Optional[int] = None) -> jax.Array:
     """y = x @ W[layer]^T for layer-stacked quantized weights (L, O, in).
 
     Single K pass (decode/prefill matrices all fit a (o_t, K) VMEM block),
@@ -509,7 +515,7 @@ def qmatmul_pallas_stacked(x: jax.Array, w: QTensor, layer_idx, *,
     g_tot = n // gs
     x2 = x.reshape(-1, n).astype(jnp.bfloat16)
     t = x2.shape[0]
-    o_t = _pick_o_tile(o, 512)
+    o_t = _pick_o_tile(o, o_tile or _STACKED_O_TILE)
     n_o = o // o_t
     l_arr = jnp.asarray([layer_idx], jnp.int32)
     s3 = w.s  # (L, O, G)
