@@ -272,3 +272,265 @@ def ffn_fused_pallas(xn: jax.Array, w13: QTensor, w2: QTensor, *,
 
     y = out.T[:t]
     return y.reshape(*lead, d_out)
+
+
+# ---------------------------------------------------------------------------
+# Stacked + x-expansion fused FFN (decode path): one call per layer, weights
+# selected by a scalar-prefetched layer index, per-group scales applied to
+# tiny partial matrices (see dequant_matmul._q8_xe_kernel) — no full-tile
+# scale materialization in either stage.
+# ---------------------------------------------------------------------------
+
+def _group_mask(k: int, gs: int) -> np.ndarray:
+    """(K, G) 0/1 with M[j, g] = 1 iff j // gs == g."""
+    g = k // gs
+    m = np.zeros((k, g), np.float32)
+    for i in range(g):
+        m[i * gs:(i + 1) * gs, i] = 1.0
+    return m
+
+
+def _ffn_xe_kernel(l_ref, xe_refs, w13_ref, s13_ref, m1_ref, w2_ref, s2_ref,
+                   e2_ref, m2_ref, o_ref, y13_ref, aexp_refs, suml_ref, *,
+                   qtype: QuantType, n_h: int, h_tile: int, hidden: int,
+                   act: str, t: int, g2: int, t_pad: int):
+    i = pl.program_id(0)
+
+    def xe_dot(w_bits, xrefs, corr):
+        """Partial-sum matrix of a quantized tile against expanded x."""
+        if qtype == QuantType.Q8_0:
+            w_bf = w_bits.astype(jnp.bfloat16)
+            p = jax.lax.dot_general(
+                w_bf, xrefs[0][:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            vf = pltpu.bitcast(w_bits, jnp.int8).astype(jnp.float32)
+            h0 = jnp.floor(vf * 0.0625)
+            lo_bf = (vf - 16.0 * h0).astype(jnp.bfloat16)
+            h_bf = h0.astype(jnp.bfloat16)
+            p = (jax.lax.dot_general(
+                    lo_bf, xrefs[0][:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(
+                    h_bf, xrefs[1][:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            if corr is not None:
+                p = p + corr
+        return p
+
+    # ---- stage A: one (h_tile, D) xe tile of the [gate;up] matmul --------
+    @pl.when(i < n_h)
+    def _():
+        corr = xe_refs[-1][:] if qtype == QuantType.Q4_0 else None
+        p = xe_dot(w13_ref[0], xe_refs, corr)          # (h_tile, T·G1)
+        s = s13_ref[0]
+        s_rep = s if t == 1 else jnp.concatenate([s] * t, axis=1)
+        y = jax.lax.dot_general(
+            p * s_rep, m1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (h_tile, t_pad)
+        y13_ref[pl.ds(i * h_tile, h_tile), :] = y
+
+    # ---- GLU + in-VMEM activation expansion, once --------------------------
+    @pl.when(i == n_h)
+    def _():
+        gate = y13_ref[pl.ds(0, hidden), :]
+        up = y13_ref[pl.ds(hidden, hidden), :]
+        if act == "silu":
+            a = gate * (1.0 / (1.0 + jnp.exp(-gate)))
+        else:
+            a = 0.5 * gate * (1.0 + jnp.tanh(
+                0.7978845608028654 * (gate + 0.044715 * gate * gate * gate)))
+        g_full = (a * up).astype(jnp.bfloat16)          # (H, t_pad)
+        if qtype == QuantType.Q8_0:
+            # ACT_exp[k, tt*G2+g] = g[k, tt] * e2[k, g]
+            cols = [g_full[:, tt:tt + 1] * e2_ref[:] for tt in range(t)]
+            aexp_refs[0][:, :] = (cols[0] if t == 1
+                                  else jnp.concatenate(cols, axis=1))
+        else:
+            half = hidden // 2
+            g_lo = g_full[:half, :]
+            g_hi = g_full[half:, :]
+            cols_l = [g_lo[:, tt:tt + 1] * e2_ref[:] for tt in range(t)]
+            cols_h = [g_hi[:, tt:tt + 1] * e2_ref[:] for tt in range(t)]
+            aexp_refs[0][:, :] = (cols_l[0] if t == 1
+                                  else jnp.concatenate(cols_l, axis=1))
+            aexp_refs[1][:, :] = (cols_h[0] if t == 1
+                                  else jnp.concatenate(cols_h, axis=1))
+            # per-(group, t) sums of the lo-half activations: the -8 nibble
+            # offset correction enters as -8 * s2 @ suml after the fold
+            suml_ref[:, :] = jax.lax.dot_general(
+                e2_ref[:], g_lo.astype(jnp.float32),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (G2, t_pad)
+
+    # ---- stage B: one (d_tile, H) xe tile of the down matmul --------------
+    @pl.when(i >= n_h)
+    def _():
+        p2 = xe_dot(w2_ref[0], [r for r in aexp_refs], None)
+        s = s2_ref[0]                                   # (d_tile, G2)
+        s_rep = s if t == 1 else jnp.concatenate([s] * t, axis=1)
+        y = jax.lax.dot_general(
+            p2 * s_rep, m2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if qtype == QuantType.Q4_0:
+            y = y - 8.0 * jax.lax.dot_general(
+                s, suml_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        o_ref[:] = y
+
+
+def ffn_fused_xe_stacked(xn: jax.Array, w13: QTensor, w2: QTensor,
+                         layer_idx, *, act: str,
+                         interpret: Optional[bool] = None) -> jax.Array:
+    """Layer-stacked fused FFN with xe scales, decode-shaped (T ≤ 8).
+
+    w13 (L, 2H, D…) rows pre-permuted with ffn_split_perm for Q4 (loader);
+    w2 (L, D, H…).  Returns (T, D) f32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from lmrs_tpu.kernels.dequant_matmul import (_build_xe, _fold_matrix,
+                                                 _pick_o_tile)
+
+    qtype = w13.qtype
+    assert w2.qtype == qtype
+    lead = xn.shape[:-1]
+    d = xn.shape[-1]
+    h2 = w13.out_features
+    hidden = h2 // 2
+    d_out = w2.out_features
+    gs = w13.group_size
+    g1 = d // gs
+    g2 = hidden // gs
+
+    x2 = xn.reshape(-1, d).astype(jnp.bfloat16)
+    t = x2.shape[0]
+    assert t <= 8, "decode-shaped kernel"
+    t_pad = 8
+
+    h_tile = _pick_o_tile(h2, 512)
+    n_h = h2 // h_tile
+    d_tile = _pick_o_tile(d_out, 512)
+    n_d = d_out // d_tile
+    l_arr = jnp.asarray([layer_idx], jnp.int32)
+    m1 = jnp.asarray(_fold_matrix(t, g1, t_pad))
+    m2 = jnp.asarray(_fold_matrix(t, g2, t_pad))
+
+    def a_idx(i, l):
+        return jnp.minimum(i, n_h - 1)
+
+    def b_idx(i, l):
+        return jnp.maximum(i - n_h, 0)
+
+    grid = (n_h + n_d,)
+    common_tail = [
+        pl.BlockSpec((1, h_tile, g1), lambda i, l: (l[0], a_idx(i, l), 0),
+                     memory_space=pltpu.VMEM),                    # s13
+        pl.BlockSpec((t * g1, t_pad), lambda i, l: (0, 0),
+                     memory_space=pltpu.VMEM),                    # m1
+    ]
+    out_spec = pl.BlockSpec((d_tile, t_pad), lambda i, l: (b_idx(i, l), 0),
+                            memory_space=pltpu.VMEM)
+
+    if qtype == QuantType.Q8_0:
+        xe1 = _build_xe(x2, 1, d, gs)[0]
+        e2 = jnp.asarray(_group_mask(hidden, gs), jnp.bfloat16)
+        in_specs = [
+            pl.BlockSpec((d, t * g1), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),                # xe1
+            pl.BlockSpec((1, h_tile, d), lambda i, l: (l[0], a_idx(i, l), 0),
+                         memory_space=pltpu.VMEM),                # w13
+        ] + common_tail + [
+            pl.BlockSpec((1, d_tile, hidden),
+                         lambda i, l: (l[0], b_idx(i, l), 0),
+                         memory_space=pltpu.VMEM),                # w2
+            pl.BlockSpec((1, d_tile, g2), lambda i, l: (l[0], b_idx(i, l), 0),
+                         memory_space=pltpu.VMEM),                # s2
+            pl.BlockSpec((hidden, g2), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),                # e2 mask
+            pl.BlockSpec((t * g2, t_pad), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),                # m2
+        ]
+        args = [xe1, w13.q, w13.s, m1, w2.q, w2.s, e2, m2]
+        n_xe = 1
+        aexp = [pltpu.VMEM((hidden, t * g2), jnp.bfloat16)]
+    else:
+        half1 = gs // 2
+        xg = x2.reshape(t, g1, gs)
+        x_l = xg[:, :, :half1]
+        x_h = xg[:, :, half1:]
+        corr1 = (-8.0 * jnp.sum(x_l.astype(jnp.float32), axis=2)
+                 ).reshape(1, t * g1)
+        xel = _build_xe(x_l.reshape(t, d // 2), 1, d // 2, half1)[0]
+        xeh = _build_xe(x_h.reshape(t, d // 2), 1, d // 2, half1)[0]
+        # e2: (H/2, G2) mask over the byte-half rows of the g scratch
+        e2 = jnp.asarray(_group_mask(hidden // 2, gs // 2), jnp.bfloat16)
+        in_specs = [
+            pl.BlockSpec((d // 2, t * g1), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),                # xel
+            pl.BlockSpec((d // 2, t * g1), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),                # xeh
+            pl.BlockSpec((1, t * g1), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),                # corr1
+            pl.BlockSpec((1, h_tile, d // 2),
+                         lambda i, l: (l[0], a_idx(i, l), 0),
+                         memory_space=pltpu.VMEM),                # w13
+        ] + common_tail + [
+            pl.BlockSpec((1, d_tile, hidden // 2),
+                         lambda i, l: (l[0], b_idx(i, l), 0),
+                         memory_space=pltpu.VMEM),                # w2
+            pl.BlockSpec((1, d_tile, g2), lambda i, l: (l[0], b_idx(i, l), 0),
+                         memory_space=pltpu.VMEM),                # s2
+            pl.BlockSpec((hidden // 2, g2), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),                # e2 mask
+            pl.BlockSpec((t * g2, t_pad), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),                # m2
+        ]
+        args = [xel, xeh, corr1, w13.q, w13.s, m1, w2.q, w2.s, e2, m2]
+        n_xe = 3
+        aexp = [pltpu.VMEM((hidden // 2, t * g2), jnp.bfloat16),
+                pltpu.VMEM((hidden // 2, t * g2), jnp.bfloat16)]
+
+    def wrapped(l_ref, *rest):
+        xe_refs = rest[:n_xe]
+        w13_ref = rest[n_xe]
+        s13_ref = rest[n_xe + 1]
+        m1_ref = rest[n_xe + 2]
+        w2_ref = rest[n_xe + 3]
+        s2_ref = rest[n_xe + 4]
+        e2_ref = rest[n_xe + 5]
+        m2_ref = rest[n_xe + 6]
+        o_ref = rest[n_xe + 7]
+        y13_ref = rest[n_xe + 8]
+        if qtype == QuantType.Q8_0:
+            aexp_refs = [rest[n_xe + 9]]
+            suml_ref = rest[n_xe + 10]
+        else:
+            aexp_refs = [rest[n_xe + 9], rest[n_xe + 10]]
+            suml_ref = rest[n_xe + 11]
+        return _ffn_xe_kernel(
+            l_ref, xe_refs, w13_ref, s13_ref, m1_ref, w2_ref, s2_ref,
+            e2_ref, m2_ref, o_ref, y13_ref, aexp_refs, suml_ref,
+            qtype=qtype, n_h=n_h, h_tile=h_tile, hidden=hidden, act=act,
+            t=t, g2=g2, t_pad=t_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((h2, t_pad), jnp.float32)] + aexp
+        + [pltpu.VMEM((g2, t_pad), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        wrapped,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d_out, t_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(l_arr, *args)
+
+    y = out.T[:t]
+    return y.reshape(*lead, d_out)

@@ -254,6 +254,12 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
 
         ff = ffn_fused_pallas(xb2, lw.w13, lw.w2,
                               act="gelu" if is_gemma else "silu")
+    elif (lw.w13 is not None and cfg.fuse_ffn and t_q <= 8
+            and stacked_idx is not None):
+        from lmrs_tpu.kernels.fused_ffn import ffn_fused_xe_stacked
+
+        ff = ffn_fused_xe_stacked(xb2, lw.w13, lw.w2, stacked_idx,
+                                  act="gelu" if is_gemma else "silu")
     else:
         if lw.w13 is not None:
             gu = qmatmul(xb2, lw.w13, cfg.matmul_impl,
@@ -480,6 +486,12 @@ def forward_batched(
 
             ff = ffn_fused_pallas(xb2, lw.w13, lw.w2,
                                   act="gelu" if is_gemma else "silu")
+        elif (lw.w13 is not None and cfg.fuse_ffn and b <= 8
+                and stacked_idx is not None):
+            from lmrs_tpu.kernels.fused_ffn import ffn_fused_xe_stacked
+
+            ff = ffn_fused_xe_stacked(xb2, lw.w13, lw.w2, stacked_idx,
+                                      act="gelu" if is_gemma else "silu")
         else:
             if lw.w13 is not None:
                 gu = qmatmul(xb2, lw.w13, cfg.matmul_impl,
