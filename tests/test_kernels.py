@@ -226,3 +226,39 @@ def test_q4_as_int8_expansion_bit_exact():
                       cache_dtype=jnp.float32, min_attn_bucket=32,
                       prefill_chunk=8).generate([1, 2, 3], gen)
     assert packed == expanded, (packed, expanded)
+
+
+def test_fused_xe_stacked_ffn_matches_unfused():
+    """ffn_fused_xe_stacked (one call per layer, scalar-prefetch stacked
+    weights, xe scales) is bit-consistent with the unfused scan-fast path."""
+    import jax.numpy as jnp
+
+    from lmrs_tpu.config import ModelType
+    from lmrs_tpu.io.params import params_from_weights
+    from lmrs_tpu.io.synthetic import random_weights, tiny_config
+    from lmrs_tpu.models.transformer import (embed_tokens, forward,
+                                             init_kv_cache)
+
+    for mt, qt in [(ModelType.GEMMA, QuantType.Q4_0),
+                   (ModelType.LLAMA, QuantType.Q8_0)]:
+        cfg = tiny_config(mt, qt, dim=64, hidden_dim=128, n_layers=2,
+                          n_heads=4, head_dim=16, n_kv_heads=2,
+                          vocab_size=256, group_size=32, seq_len=64,
+                          matmul_impl="fast")
+        w = random_weights(cfg, seed=3)
+        p_plain = params_from_weights(cfg, w, stack_layers=True,
+                                      fuse_qkv=True)
+        cfg_f = cfg.replace(fuse_ffn=True)
+        p_fused = params_from_weights(cfg_f, w, stack_layers=True,
+                                      fuse_qkv=True, fuse_ffn=True)
+        for T in (1, 8):
+            toks = jnp.asarray(list(range(1, T + 1)), jnp.int32)
+            c1 = init_kv_cache(cfg, jnp.float32)
+            c2 = init_kv_cache(cfg, jnp.float32)
+            x = embed_tokens(p_plain, cfg, toks)
+            l1, _ = forward(p_plain, cfg, c1, x, jnp.int32(0), 32,
+                            jnp.int32(T - 1))
+            l2, _ = forward(p_fused, cfg_f, c2, x, jnp.int32(0), 32,
+                            jnp.int32(T - 1))
+            np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                       rtol=2e-3, atol=2e-3)
