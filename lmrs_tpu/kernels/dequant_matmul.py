@@ -15,13 +15,24 @@ the reference's lossy activation re-quantization.  The "exact" XLA path in
 lmrs_tpu.ops.matmul keeps bit-parity with lm.rs; both are exposed through
 `qmatmul(..., impl=...)`.
 
-Scale expansion trick: per-group scales (O_TILE, G) are broadcast to
-per-element scales (O_TILE, K/…) with a tiny constant 0/1 expansion matmul
-`s @ E` on the MXU — guaranteed Mosaic lowering, no awkward reshapes.
+Three kernel families, newest first:
 
-Grid: (O tiles, K tiles) with f32 accumulation in the revisited output
-block; Pallas double-buffers the weight-tile DMA across grid steps
-automatically.
+* x-expansion ("xe", decode T≤8 — the headline path): per-group scaling is
+  restructured as y[o,t] = Σ_g s[o,g]·p[o,t,g] where the partial-dot matrix
+  p is ONE MXU pass against a block-diagonal expanded activation matrix;
+  the only full-tile VPU work is the int8→f32 convert (+3 ops for the Q4
+  nibble split on the XOR-0x80 biased bytes).  Stacked variants take
+  (L, O, K) weights and a scalar-prefetched layer index so a lax.scan
+  decode program has ONE call site per matmul (the axon remote compiler
+  charges minutes per call site).
+* s@E expansion (prefill T>8): per-group scales broadcast to per-element
+  scales with a constant 0/1 expansion matmul on the MXU, then one dequant
+  multiply of the whole tile.
+* group-loop (experimental): per-group small dots, kept for reference.
+
+Grids: stacked kernels run (O tiles,) with a single K pass; the unrolled
+kernels run (O tiles, K tiles) with f32 accumulation in the revisited
+output block.  Pallas double-buffers the weight-tile DMAs automatically.
 """
 
 from __future__ import annotations
