@@ -97,8 +97,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     if cfg.quant.value:
         print(f"Using {cfg.quant.name} quantization.")
     print("Loading weights...")
-    params = params_from_lmrs(f, fuse_qkv=fuse, fuse_ffn=fuse,
-                              q4_as_int8=fuse)
+    # scan-fast layout: stacked weights + fused [q;k;v]/[gate;up] with the
+    # scalar-prefetch kernels; packed-resident Q4 (the xe kernels made it
+    # faster than int8 expansion in round 2)
+    params = params_from_lmrs(f, fuse_qkv=fuse, fuse_ffn=fuse)
     print("Done.\n")
 
     engine = Engine(cfg, params,

@@ -69,7 +69,7 @@ class BackendServer:
                                               fuse_ffn=fuse)
         self.cfg = self.file.cfg
         self.params = params_from_lmrs(self.file, fuse_qkv=fuse,
-                                       fuse_ffn=fuse, q4_as_int8=fuse)
+                                       fuse_ffn=fuse)
         self.cache_dtype = (jnp.bfloat16 if cache_dtype == "bfloat16"
                             else jnp.float32)
         self.temperature = temperature
