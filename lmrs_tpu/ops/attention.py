@@ -85,3 +85,58 @@ def attention(
                      preferred_element_type=jnp.float32,
                      precision=prec)
     return out.reshape(t_q, n_heads, head_dim).astype(jnp.float32)
+
+
+def attention_cp(
+    q: jnp.ndarray,          # (T, H, head_dim) — replicated across cp
+    k_local: jnp.ndarray,    # (S/cp, KH, head_dim) — this shard's cache rows
+    v_local: jnp.ndarray,    # (S/cp, KH, head_dim)
+    pos,                     # scalar int32 — absolute position of q[0]
+    axis: str,               # cp mesh axis name (call inside shard_map)
+    *,
+    scale: float,
+    softcap: Optional[float] = None,
+    window: Optional[int] = None,
+) -> jnp.ndarray:
+    """Context-parallel GQA attention: the KV cache's SEQUENCE axis is
+    sharded over mesh axis `axis`; each shard computes attention over its
+    own block and the shards merge with an online-softmax reduction
+    (max-shift + psum of renormalized numerators/denominators).
+
+    This removes the per-chip memory limit that made the reference clamp
+    seq_len to 8192 (reference: src/transformer.rs:157-160): context
+    capacity scales linearly with the cp axis while per-shard HBM traffic
+    stays S/cp rows.  Communication is two psums + one pmax of
+    (T, H)-shaped scalars — O(heads), not O(sequence).
+    """
+    t_q, n_heads, head_dim = q.shape
+    s_loc, n_kv, _ = k_local.shape
+    kv_group = n_heads // n_kv
+    r = jax.lax.axis_index(axis)
+    row0 = r * s_loc  # absolute position of this shard's first cache row
+
+    qg = q.astype(jnp.float32).reshape(t_q, n_kv, kv_group, head_dim)
+    scores = jnp.einsum("tkgd,skd->tkgs", qg,
+                        k_local.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) * scale
+    if softcap is not None:
+        scores = jnp.tanh(scores / softcap) * softcap
+
+    t_idx = row0 + jnp.arange(s_loc, dtype=jnp.int32)[None, :]
+    q_pos = pos + jnp.arange(t_q, dtype=jnp.int32)[:, None]
+    if window is not None:
+        win = jnp.where(q_pos - t_idx <= window, 0.0, _WINDOW_NEG)
+        scores = scores + win[:, None, None, :]
+    causal = t_idx <= q_pos
+    scores = jnp.where(causal[:, None, None, :], scores, _MASK_NEG)
+
+    # local online-softmax pieces, then the cross-shard merge
+    m_l = jnp.max(scores, axis=-1)                        # (T, KH, G)
+    m_g = jax.lax.pmax(m_l, axis)
+    e = jnp.exp(scores - m_g[..., None])
+    den = jax.lax.psum(jnp.sum(e, axis=-1), axis)         # (T, KH, G)
+    num = jax.lax.psum(
+        jnp.einsum("tkgs,skd->tkgd", e, v_local.astype(jnp.float32),
+                   preferred_element_type=jnp.float32), axis)
+    out = num / den[..., None]
+    return out.reshape(t_q, n_heads, head_dim)

@@ -100,3 +100,36 @@ def test_tp_rejects_indivisible():
     mesh = make_mesh(tp=4, dp=1, devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="tp=4 incompatible"):
         build_tp_params(cfg, {}, mesh)
+
+
+def test_attention_cp_matches_full():
+    """Sequence-sharded (context-parallel) attention over a 4-way cp axis
+    matches full-cache attention: the online-softmax merge (pmax + psum of
+    renormalized pieces) is exact up to fp reassociation."""
+    from jax.sharding import PartitionSpec as P
+
+    from lmrs_tpu.ops.attention import attention, attention_cp
+
+    rng = np.random.default_rng(0)
+    T, H, KH, HD, S = 4, 8, 4, 16, 64
+    q = jnp.asarray(rng.standard_normal((T, H, HD)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((S, KH, HD)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((S, KH, HD)), jnp.float32)
+    pos = jnp.int32(37)
+
+    for softcap, window in ((None, None), (50.0, 24)):
+        want = attention(q, k, v, pos, scale=0.25, softcap=softcap,
+                         window=window)
+
+        mesh = make_mesh(tp=4, dp=1, devices=jax.devices()[:4])
+
+        def cp_attn(q, k_loc, v_loc):
+            return attention_cp(q, k_loc, v_loc, pos, "tp", scale=0.25,
+                                softcap=softcap, window=window)
+
+        got = jax.jit(jax.shard_map(
+            cp_attn, mesh=mesh,
+            in_specs=(P(), P("tp", None, None), P("tp", None, None)),
+            out_specs=P(), check_vma=False))(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
