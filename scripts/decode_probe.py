@@ -32,7 +32,7 @@ def main():
              "none": QuantType.NONE}[
         sys.argv[2] if len(sys.argv) > 2 else "q8_0"]
     impl = sys.argv[3] if len(sys.argv) > 3 else "fast"
-    layout = sys.argv[4] if len(sys.argv) > 4 else "stacked"
+    layout = sys.argv[4] if len(sys.argv) > 4 else "scan"
 
     print(f"== {config} {quant.name} impl={impl} layout={layout}", flush=True)
     print("devices:", jax.devices(), flush=True)
@@ -40,9 +40,11 @@ def main():
     cfg = PRESETS[config](quant=quant, matmul_impl=impl)
     t0 = time.perf_counter()
     weights = random_weights(cfg, seed=0)
+    # "scan" = stacked + fused (scalar-prefetch kernels, the serving
+    # default); "unrolled" = per-layer call sites; "stacked" = exact-style
     params = params_from_weights(cfg, weights,
-                                 stack_layers=(layout == "stacked"),
-                                 fuse_qkv=(layout == "unrolled"))
+                                 stack_layers=(layout != "unrolled"),
+                                 fuse_qkv=(layout in ("unrolled", "scan")))
     jax.block_until_ready(jax.tree_util.tree_leaves(params))
     nbytes = sum(l.nbytes for l in jax.tree_util.tree_leaves(params))
     print(f"weights ready in {time.perf_counter()-t0:.0f}s "
