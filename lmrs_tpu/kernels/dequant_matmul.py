@@ -456,11 +456,19 @@ def _q8_xe_stacked_kernel(l_ref, xe_ref, w_ref, s_ref, m_ref, o_ref, *,
 
 
 def _q4_xe_stacked_kernel(l_ref, xel_ref, xeh_ref, corr_ref, w_ref, s_ref,
-                          m_ref, o_ref, *, t: int):
-    vf = pltpu.bitcast(w_ref[0], jnp.int8).astype(jnp.float32)
-    h0 = jnp.floor(vf * 0.0625)
-    lo_bf = (vf - 16.0 * h0).astype(jnp.bfloat16)
-    h_bf = h0.astype(jnp.bfloat16)
+                          m_ref, o_ref, *, t: int, f32_unpack: bool = True):
+    if f32_unpack:
+        vf = pltpu.bitcast(w_ref[0], jnp.int8).astype(jnp.float32)
+        h0 = jnp.floor(vf * 0.0625)
+        lo_bf = (vf - 16.0 * h0).astype(jnp.bfloat16)
+        h_bf = h0.astype(jnp.bfloat16)
+    else:
+        # bf16 unpack: integers in [-128, 127] and the 2^-4 scaling are
+        # exact in bf16, so this is bit-identical with 2 fewer VPU ops per
+        # byte — IF Mosaic lowers int8->bf16 converts and bf16 floor
+        vf = pltpu.bitcast(w_ref[0], jnp.int8).astype(jnp.bfloat16)
+        h_bf = jnp.floor(vf * jnp.bfloat16(0.0625))
+        lo_bf = vf - jnp.bfloat16(16.0) * h_bf
     p = (jax.lax.dot_general(
             lo_bf, xel_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -590,7 +598,10 @@ def qmatmul_pallas_stacked(x: jax.Array, w: QTensor, layer_idx, *,
                                        memory_space=pltpu.VMEM),
             )
             out = pl.pallas_call(
-                functools.partial(_q4_xe_stacked_kernel, t=t),
+                functools.partial(
+                    _q4_xe_stacked_kernel, t=t,
+                    f32_unpack=os.environ.get("LMRS_Q4_BF16_UNPACK",
+                                              "0") != "1"),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
                 compiler_params=pltpu.CompilerParams(
