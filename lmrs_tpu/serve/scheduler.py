@@ -187,7 +187,7 @@ class BatchScheduler:
         """Reserve a free slot for a conversation; None if all leased."""
         with self._lock:
             for i, s in enumerate(self.slots):
-                if s.lease is None and s.req is None:
+                if s.lease is None and s.req is None and s.pending is None:
                     lease = Lease(slot_idx=i)
                     s.lease = lease
                     s.pos = 0
