@@ -25,9 +25,7 @@ kernels run unmodified on each device's block.
 
 from __future__ import annotations
 
-import dataclasses
 import math
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -28,7 +28,7 @@ import itertools
 import threading
 import time
 from functools import partial
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
