@@ -87,7 +87,19 @@ def qmatmul(x: jax.Array, w: QTensor, impl: str = "exact",
         t = int(np.prod(x.shape[:-1]))
         if t <= 8:
             return qmatmul_pallas_xe(x, w)
-        return qmatmul_pallas(x, w)
+        if t <= 512:
+            return qmatmul_pallas(x, w)
+        # Very large T (vision encoder: num_crops*576 rows): weights are
+        # amortized over thousands of activations, so a plain XLA dot on
+        # the dequantized matrix wins — and the Pallas kernels' padded
+        # activation blocks would blow VMEM at these shapes.
+        from lmrs_tpu.quant import dequantize
+
+        lead = x.shape[:-1]
+        wd = dequantize(w).astype(jnp.bfloat16)
+        y = jnp.dot(x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16), wd.T,
+                    preferred_element_type=jnp.float32)
+        return y.reshape(*lead, w.out_features)
     lead = x.shape[:-1]
     n = x.shape[-1]
     assert n == w.in_features, (x.shape, w.logical_shape)
