@@ -199,22 +199,24 @@ def bench_image_encode(f, cfg, params):
     t_pre = time.perf_counter() - t0
     patches = jnp.asarray(patches)
 
-    vf = jax.jit(lambda p: vision_forward(vparams, vcfg, p))
-    vf1 = jax.jit(lambda p: vision_forward(vparams, vcfg, p))
-    feats = vf(patches)
+    # params as ARGUMENTS, not jit-closure constants: captured weights are
+    # serialized into the remote-compile request (HTTP 413 on the axon
+    # tunnel) and bloat the program
+    vf = jax.jit(lambda vp, p: vision_forward(vp, vcfg, p))
+    feats = vf(vparams, patches)
     jax.block_until_ready(feats)       # compile batched
-    jax.block_until_ready(vf1(patches[:1]))  # compile single-crop
+    jax.block_until_ready(vf(vparams, patches[:1]))  # compile single-crop
 
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
-        feats = vf(patches + jnp.float32(i) * 0)
+        feats = vf(vparams, patches + jnp.float32(i) * 0)
     _ = float(jnp.sum(feats[:, 0, 0]))
     t_batched = (time.perf_counter() - t0) / reps
 
     t0 = time.perf_counter()
     for i in range(reps):
-        outs = [vf1(patches[j:j + 1] + jnp.float32(i) * 0)
+        outs = [vf(vparams, patches[j:j + 1] + jnp.float32(i) * 0)
                 for j in range(n_c)]
     _ = float(sum(jnp.sum(o[:, 0, 0]) for o in outs))
     t_seq = (time.perf_counter() - t0) / reps
