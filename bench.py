@@ -203,23 +203,28 @@ def bench_image_encode(f, cfg, params):
     # serialized into the remote-compile request (HTTP 413 on the axon
     # tunnel) and bloat the program
     vf = jax.jit(lambda vp, p: vision_forward(vp, vcfg, p))
-    feats = vf(vparams, patches)
-    jax.block_until_ready(feats)       # compile batched
-    jax.block_until_ready(vf(vparams, patches[:1]))  # compile single-crop
 
-    reps = 3
-    t0 = time.perf_counter()
-    for i in range(reps):
-        feats = vf(vparams, patches + jnp.float32(i) * 0)
-    _ = float(jnp.sum(feats[:, 0, 0]))
-    t_batched = (time.perf_counter() - t0) / reps
+    def run_batched():
+        t0 = time.perf_counter()
+        f = vf(vparams, patches)
+        _ = float(jnp.sum(f[:, 0, 0]))
+        return time.perf_counter() - t0, f
 
-    t0 = time.perf_counter()
-    for i in range(reps):
-        outs = [vf(vparams, patches[j:j + 1] + jnp.float32(i) * 0)
-                for j in range(n_c)]
-    _ = float(sum(jnp.sum(o[:, 0, 0]) for o in outs))
-    t_seq = (time.perf_counter() - t0) / reps
+    def run_seq():
+        t0 = time.perf_counter()
+        outs = [vf(vparams, patches[j:j + 1]) for j in range(n_c)]
+        _ = float(sum(jnp.sum(o[:, 0, 0]) for o in outs))
+        return time.perf_counter() - t0, outs
+
+    # warm up the EXACT timed code paths (compiles + sync programs), then
+    # take the median of 3 — single-call timing through the tunnel includes
+    # a ~30-80 ms fetch, identical for both variants
+    run_batched()
+    run_seq()
+    import statistics
+    t_batched = statistics.median(run_batched()[0] for _ in range(3))
+    t_seq = statistics.median(run_seq()[0] for _ in range(3))
+    feats = run_batched()[1]
 
     img_embeds = processor_forward(pparams, pcfg, feats, w_crop, h_crop)
     prefix = embed_tokens(params, cfg,
