@@ -463,9 +463,10 @@ def _q4_xe_stacked_kernel(l_ref, xel_ref, xeh_ref, corr_ref, w_ref, s_ref,
         lo_bf = (vf - 16.0 * h0).astype(jnp.bfloat16)
         h_bf = h0.astype(jnp.bfloat16)
     else:
-        # bf16 unpack: integers in [-128, 127] and the 2^-4 scaling are
-        # exact in bf16, so this is bit-identical with 2 fewer VPU ops per
-        # byte — IF Mosaic lowers int8->bf16 converts and bf16 floor
+        # bf16 unpack: bit-identical with 2 fewer VPU ops per byte, but
+        # the current TPU toolchain fails to compile it (LLO_CHECK failure
+        # in the remote compiler, 2026-08-17) — kept behind the env knob
+        # for future toolchains
         vf = pltpu.bitcast(w_ref[0], jnp.int8).astype(jnp.bfloat16)
         h_bf = jnp.floor(vf * jnp.bfloat16(0.0625))
         lo_bf = vf - jnp.bfloat16(16.0) * h_bf
