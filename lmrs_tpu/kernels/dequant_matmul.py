@@ -268,7 +268,8 @@ def _q8_xe_kernel(xe_ref, w_ref, s_ref, m_ref, o_ref, acc_ref, *, n_k: int,
 
 
 def _q4_xe_kernel(xel_ref, xeh_ref, corr_ref, w_ref, s_ref, m_ref, o_ref,
-                  acc_ref, *, n_k: int, t: int, f32_unpack: bool):
+                  acc_ref, *, n_k: int, t: int, f32_unpack: bool,
+                  f32_dot: bool = False):
     """X-expansion Q4 kernel on PACKED bytes (0.5 byte/weight HBM traffic).
 
     Biased-byte algebra (runtime bytes store u XOR 0x80, quant.unpack_q4,
@@ -289,7 +290,13 @@ def _q4_xe_kernel(xel_ref, xeh_ref, corr_ref, w_ref, s_ref, m_ref, o_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    if f32_unpack:
+    if f32_dot:
+        # keep the unpacked factors in f32 and feed the MXU f32 dots: saves
+        # the two full-tile bf16 casts (the dots are tiny, N = T*G)
+        vf = pltpu.bitcast(w_ref[:], jnp.int8).astype(jnp.float32)
+        h_bf = jnp.floor(vf * 0.0625)
+        lo_bf = vf - 16.0 * h_bf
+    elif f32_unpack:
         vf = pltpu.bitcast(w_ref[:], jnp.int8).astype(jnp.float32)
         h0 = jnp.floor(vf * 0.0625)
         lo_bf = (vf - 16.0 * h0).astype(jnp.bfloat16)
@@ -342,7 +349,8 @@ def qmatmul_pallas_xe(x: jax.Array, w: QTensor, *,
                       interpret: Optional[bool] = None,
                       o_tile: Optional[int] = None,
                       k_tile: Optional[int] = None,
-                      f32_unpack: bool = True) -> jax.Array:
+                      f32_unpack: bool = True,
+                      f32_dot: bool = False) -> jax.Array:
     """y = x @ W^T via the x-expansion kernels (decode-oriented: T ≤ ~8).
 
     MXU cost grows with T·G_T (the expanded N dimension), so this path is
@@ -398,6 +406,9 @@ def qmatmul_pallas_xe(x: jax.Array, w: QTensor, *,
         # biased-byte algebra: only the lo nibble's -8 offset remains as a
         # correction (h0 = hi-8 already carries the hi offset)
         corr = -8.0 * jnp.sum(x_l.astype(jnp.float32), axis=2)  # (T, G_tot)
+        if f32_dot:
+            x_l = x_l.astype(jnp.float32)
+            x_h = x_h.astype(jnp.float32)
         xel = _build_xe(x_l.reshape(t, n // 2), n_k, k_t // 2, half)
         xeh = _build_xe(x_h.reshape(t, n // 2), n_k, k_t // 2, half)
         # corr rows laid out like p columns: (n_k, 1, T·G_T)
@@ -405,7 +416,7 @@ def qmatmul_pallas_xe(x: jax.Array, w: QTensor, *,
                    .reshape(n_k, 1, t * g_t)
         out = pl.pallas_call(
             functools.partial(_q4_xe_kernel, n_k=n_k, t=t,
-                              f32_unpack=f32_unpack),
+                              f32_unpack=f32_unpack, f32_dot=f32_dot),
             grid=(n_o, n_k),
             in_specs=[
                 pl.BlockSpec((1, k_t // 2, t * g_t), lambda i, j: (j, 0, 0),
@@ -484,6 +495,30 @@ def _q4_xe_stacked_kernel(l_ref, xel_ref, xeh_ref, corr_ref, w_ref, s_ref,
         preferred_element_type=jnp.float32)
 
 
+def _q8_xei8_stacked_kernel(l_ref, xe_ref, xs_ref, w_ref, s_ref, m_ref,
+                            o_ref, *, t: int):
+    """W8A8 stacked xe kernel: activations group-quantized to int8 (the
+    reference's own runtime scheme, src/quantization.rs:44-67), weights fed
+    to the MXU as RAW int8 — the v5e MXU's int8 mode runs at 2x the bf16
+    value rate, and at matvec N the kernels are MXU weight-load-bound, so
+    this roughly doubles single-stream decode.  NO full-tile VPU work at
+    all: the int8 partial dots land in int32 and both scale sets (weight
+    per-(o,g), activation per-(t,g)) fold into the tiny partial matrix.
+
+        y[o,t] = Σ_g ws[o,g]·xs[t,g]·Σ_{k∈g} w_q[o,k]·x_q[t,k]
+
+    — the same integer-dot-then-scale formula as the exact XLA path."""
+    p = jax.lax.dot_general(
+        w_ref[0], xe_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                 # (O_T, T·G) i32
+    s = s_ref[0]                                          # (O_T, G) f32
+    s_rep = s if t == 1 else jnp.concatenate([s] * t, axis=1)
+    pf = p.astype(jnp.float32) * s_rep * xs_ref[:]        # xs (1, T·G)
+    o_ref[:] = jax.lax.dot_general(
+        pf, m_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _q8_se_stacked_kernel(l_ref, x_ref, w_ref, s_ref, e_ref, o_ref):
     """Stacked s@E kernel (prefill: T too large for the xe expansion)."""
     s_rep = jnp.dot(s_ref[0].astype(jnp.bfloat16), e_ref[:],
@@ -543,6 +578,43 @@ def qmatmul_pallas_stacked(x: jax.Array, w: QTensor, layer_idx, *,
     if t <= 8:
         t_pad = 8
         m = jnp.asarray(_fold_matrix(t, g_tot, t_pad))
+        if w.qtype == QuantType.Q8_0 and os.environ.get(
+                "LMRS_W8A8", "1") == "1":
+            # W8A8: int8 MXU dots at 2x the bf16 value rate (see kernel)
+            from lmrs_tpu.quant import quantize_q8_act
+
+            xq, xs = quantize_q8_act(x.reshape(-1, n), gs)
+            xe = _build_xe(xq.astype(jnp.float32), 1, n, gs)[0] \
+                .astype(jnp.int8)                     # (K, T·G) int8
+            xs_row = xs.reshape(1, t * g_tot)         # t-major (t,g) scales
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_o,),
+                in_specs=[
+                    pl.BlockSpec((n, t * g_tot), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, t * g_tot), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, o_t, n), lambda i, l: (l[0], i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, o_t, g_tot), lambda i, l: (l[0], i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((t * g_tot, t_pad), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((o_t, t_pad), lambda i, l: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            )
+            out = pl.pallas_call(
+                functools.partial(_q8_xei8_stacked_kernel, t=t),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((o, t_pad), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024),
+                interpret=interpret,
+            )(l_arr, xe, xs_row, w.q, s3, m)
+            y = out.T[:t]
+            return y.reshape(*lead, o)
         if w.qtype == QuantType.Q8_0:
             xe = _build_xe(x2, 1, n, gs)[0]          # (K, T·G)
             grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -141,6 +141,9 @@ def make_variant(name, ws, o_tile, k_tile):
         if name == "q4-xeb":
             return qmatmul_pallas_xe(x, w, o_tile=o_tile, k_tile=k_tile,
                                      f32_unpack=False)
+        if name == "q4-xef":
+            return qmatmul_pallas_xe(x, w, o_tile=o_tile, k_tile=k_tile,
+                                     f32_dot=True)
         if name == "none":
             return convert_only(x, w, o_tile or 512)
         if name == "dense":
