@@ -364,3 +364,160 @@ def make_tp_step(cfg: ModelConfig, mesh: Mesh, param_spec,
         out_specs=(P(), KVCache(tp_cache_spec(), tp_cache_spec())),
         check_vma=False)
     return jax.jit(sm, donate_argnums=(1,))
+
+
+# ---------------------------------------------------------------------------
+# Context parallelism: the KV cache's SEQUENCE axis sharded over a "cp"
+# mesh axis — per-chip context capacity scales linearly with the axis.
+# ---------------------------------------------------------------------------
+
+CP_AXIS = "cp"
+
+
+def replicate_params(params: TransformerParams, mesh: Mesh):
+    """Device_put every leaf replicated over `mesh` (cp-only layout: the
+    weights fit per chip, only the cache is sharded)."""
+    rep = NamedSharding(mesh, P())
+    out = jax.tree.map(lambda a: jax.device_put(a, rep), params)
+    return out, jax.tree.map(lambda a: P(), params)
+
+
+def init_cp_cache(cfg: ModelConfig, mesh: Mesh, dtype=jnp.bfloat16,
+                  seq_len: Optional[int] = None) -> KVCache:
+    s = seq_len or cfg.seq_len
+    shape = (cfg.n_layers, s, cfg.n_kv_heads, cfg.cache_head_dim)
+    sh = NamedSharding(mesh, P(None, CP_AXIS, None, None))
+    return KVCache(k=jax.device_put(jnp.zeros(shape, dtype), sh),
+                   v=jax.device_put(jnp.zeros(shape, dtype), sh))
+
+
+def _cp_masked_write(cache_arr, rows, layer_idx: int, pos, s_loc: int):
+    """Write T rows at GLOBAL position `pos` into this shard's local cache
+    block iff the rows fall inside it; other shards re-write their own
+    current rows (no-op).  dynamic_update_slice clamps, so the masked
+    read-modify-write keeps out-of-range shards untouched."""
+    t = rows.shape[0]
+    r = jax.lax.axis_index(CP_AXIS)
+    lp = pos - r * s_loc
+    ok = (lp >= 0) & (lp <= s_loc - t)
+    idx = jnp.clip(lp, 0, s_loc - t)
+    old = jax.lax.dynamic_slice(
+        cache_arr, (layer_idx, idx, 0, 0),
+        (1, t, cache_arr.shape[2], cache_arr.shape[3]))
+    new = jnp.where(ok, rows[None].astype(cache_arr.dtype), old)
+    return jax.lax.dynamic_update_slice(cache_arr, new,
+                                        (layer_idx, idx, 0, 0))
+
+
+def forward_cp(params: TransformerParams, cfg: ModelConfig, cache: KVCache,
+               tokens: jax.Array, pos: jax.Array, logit_idx=None):
+    """Shard-local decode forward with a SEQUENCE-sharded cache: weights
+    replicated, every shard computes the same projections, the KV write
+    lands on the owning shard only, and attention merges across shards via
+    attention_cp's online-softmax reduction.  Call inside shard_map.
+
+    This is the TPU answer to the reference's 8192 clamp
+    (src/transformer.rs:157-160): context capacity scales with the cp axis.
+
+    Multi-token (prefill) writes must not straddle a shard boundary: keep
+    chunk sizes dividing S/cp (decode T=1 is always safe).
+    """
+    from lmrs_tpu.models.transformer import embed_tokens
+    from lmrs_tpu.ops.attention import attention_cp
+
+    x = embed_tokens(params, cfg, tokens)
+    t_q = x.shape[0]
+    cos = jax.lax.dynamic_slice(params.rope_cos, (pos, 0),
+                                (t_q, params.rope_cos.shape[1]))
+    sin = jax.lax.dynamic_slice(params.rope_sin, (pos, 0),
+                                (t_q, params.rope_sin.shape[1]))
+    k_c, v_c = cache.k, cache.v
+    s_loc = k_c.shape[1]
+    is_gemma = cfg.model_type == ModelType.GEMMA
+
+    layers = params.layers
+    assert isinstance(layers, (list, tuple)), "cp path uses unrolled layers"
+    for l, lw in enumerate(layers):
+        xb = rmsnorm(x, lw.att_norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+        if lw.wqkv is not None:
+            qkv = qmatmul(xb, lw.wqkv, cfg.matmul_impl)
+            q = qkv[:, : cfg.att_dim]
+            k = qkv[:, cfg.att_dim: cfg.att_dim + cfg.kv_dim]
+            v = qkv[:, cfg.att_dim + cfg.kv_dim:]
+        else:
+            q = qmatmul(xb, lw.wq, cfg.matmul_impl)
+            k = qmatmul(xb, lw.wk, cfg.matmul_impl)
+            v = qmatmul(xb, lw.wv, cfg.matmul_impl)
+        q = q.reshape(t_q, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(t_q, cfg.n_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        hd_pad = cfg.cache_head_dim - cfg.head_dim
+        if hd_pad:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, hd_pad)))
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, hd_pad)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, hd_pad)))
+
+        k_c = _cp_masked_write(k_c, k, l, pos, s_loc)
+        v_c = _cp_masked_write(v_c, v, l, pos, s_loc)
+
+        att = attention_cp(q, k_c[l], v_c[l], pos, CP_AXIS,
+                           scale=cfg.attn_scale,
+                           softcap=cfg.attn_logit_softcap,
+                           window=cfg.sliding_window)
+        if hd_pad:
+            att = att[..., : cfg.head_dim]
+        o = qmatmul(att.reshape(t_q, cfg.att_dim), lw.wo, cfg.matmul_impl)
+        if is_gemma:
+            h = rmsnorm(o, lw.post_att_norm, cfg.rms_norm_eps, True)
+            x = x + h
+            xb2 = rmsnorm(x, lw.pre_ffn_norm, cfg.rms_norm_eps, True)
+        else:
+            x = x + o
+            xb2 = rmsnorm(x, lw.post_att_norm, cfg.rms_norm_eps, False)
+        if lw.w13 is not None:
+            gu = qmatmul(xb2, lw.w13, cfg.matmul_impl)
+            gate, up = gu[:, : cfg.hidden_dim], gu[:, cfg.hidden_dim:]
+        else:
+            gate = qmatmul(xb2, lw.w1, cfg.matmul_impl)
+            up = qmatmul(xb2, lw.w3, cfg.matmul_impl)
+        act = (gelu_tanh(gate) if is_gemma else silu(gate)) * up
+        ff = qmatmul(act, lw.w2, cfg.matmul_impl)
+        if is_gemma:
+            x = x + rmsnorm(ff, lw.post_ffn_norm, cfg.rms_norm_eps, True)
+        else:
+            x = x + ff
+
+    new_cache = KVCache(k=k_c, v=v_c)
+    if logit_idx is None:
+        return None, new_cache
+    xl = jax.lax.dynamic_slice(x, (logit_idx, 0), (1, cfg.dim))
+    xl = rmsnorm(xl, params.final_norm, cfg.rms_norm_eps,
+                 cfg.norm_unit_offset)
+    cls = params.embed if cfg.tied_lm_head else params.lm_head
+    logits = qmatmul(xl, cls, cfg.matmul_impl)[0]
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        if cfg.parity_gemma_softcap_bug:
+            head = jnp.tanh(logits[: cfg.dim] / cap) * cap
+            logits = jnp.concatenate([head, logits[cfg.dim:]])
+        else:
+            logits = jnp.tanh(logits / cap) * cap
+    return logits, new_cache
+
+
+def make_cp_step(cfg: ModelConfig, mesh: Mesh, param_spec, t: int):
+    """Jitted shard_map decode/prefill step over a sequence-sharded cache."""
+    def step(params, cache, tokens, pos):
+        return forward_cp(params, cfg, cache, tokens, pos,
+                          logit_idx=jnp.int32(t - 1))
+
+    cache_spec = KVCache(P(None, CP_AXIS, None, None),
+                         P(None, CP_AXIS, None, None))
+    sm = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(param_spec, cache_spec, P(), P()),
+        out_specs=(P(), cache_spec),
+        check_vma=False)
+    return jax.jit(sm, donate_argnums=(1,))

@@ -133,3 +133,60 @@ def test_attention_cp_matches_full():
             out_specs=P(), check_vma=False))(q, k, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_cp_decode_matches_single_device():
+    """Full decode steps over a SEQUENCE-sharded cache (cp=4) match the
+    single-device engine: prefill chunks land on their owning shards,
+    decode tokens cross shard boundaries, attention merges across shards."""
+    from lmrs_tpu.parallel.tp import (init_cp_cache, make_cp_step,
+                                      replicate_params)
+
+    cfg = tiny_config(ModelType.GEMMA, QuantType.Q8_0, dim=64,
+                      hidden_dim=128, n_layers=2, n_heads=8, head_dim=16,
+                      n_kv_heads=4, vocab_size=512, seq_len=64,
+                      group_size=16, matmul_impl="fast")
+    weights = random_weights(cfg, seed=13)
+    ref_params = params_from_weights(cfg, weights, stack_layers=False,
+                                     fuse_qkv=True)
+    ref_cache = init_kv_cache(cfg, jnp.float32)
+
+    mesh = make_mesh(tp=4, dp=1, devices=jax.devices()[:4])
+    mesh = jax.sharding.Mesh(mesh.devices.reshape(4), ("cp",))
+    cp_params, spec = replicate_params(ref_params, mesh)
+    cp_cache = init_cp_cache(cfg, mesh, jnp.float32)  # 16 rows per shard
+
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(1, 500, 16), jnp.int32)
+
+    from lmrs_tpu.models.transformer import embed_tokens
+    x = embed_tokens(ref_params, cfg, prompt)
+    ref_logits, ref_cache = jax.jit(
+        lambda p, c, x: forward(p, cfg, c, x, jnp.int32(0), 64,
+                                jnp.int32(15)))(ref_params, ref_cache, x)
+
+    pre = make_cp_step(cfg, mesh, spec, t=16)
+    cp_logits, cp_cache = pre(cp_params, cp_cache, prompt, jnp.int32(0))
+    # the single-device fast path runs bf16 attention; attention_cp merges
+    # in f32 — compare loosely plus greedy-token equality
+    np.testing.assert_allclose(np.asarray(cp_logits), np.asarray(ref_logits),
+                               rtol=2e-2, atol=2e-2)
+    assert int(np.argmax(cp_logits)) == int(np.argmax(ref_logits))
+
+    # decode across the first TWO shard boundaries (pos 16..33 spans
+    # shard-0→1→2 ownership at 16 rows/shard)
+    dec = make_cp_step(cfg, mesh, spec, t=1)
+    tok = int(np.argmax(cp_logits))
+    for pos in range(16, 34):
+        x1 = embed_tokens(ref_params, cfg, jnp.asarray([tok], jnp.int32))
+        ref_logits, ref_cache = jax.jit(
+            lambda p, c, x, q: forward(p, cfg, c, x, q, 64, jnp.int32(0)),
+            static_argnums=())(ref_params, ref_cache, x1, jnp.int32(pos))
+        cp_logits, cp_cache = dec(cp_params, cp_cache,
+                                  jnp.asarray([tok], jnp.int32),
+                                  jnp.int32(pos))
+        np.testing.assert_allclose(np.asarray(cp_logits),
+                                   np.asarray(ref_logits),
+                                   rtol=2e-2, atol=2e-2)
+        assert int(np.argmax(cp_logits)) == int(np.argmax(ref_logits))
+        tok = int(np.argmax(cp_logits))
