@@ -262,3 +262,25 @@ def test_fused_xe_stacked_ffn_matches_unfused():
                             jnp.int32(T - 1))
             np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
                                        rtol=2e-3, atol=2e-3)
+
+
+def test_large_t_dense_fallback():
+    """T>512 fast-path calls (vision encoder shapes) use the dense-XLA
+    fallback and stay consistent with the Pallas path."""
+    import jax.numpy as jnp
+
+    from lmrs_tpu.ops.matmul import qmatmul
+
+    rng = np.random.default_rng(0)
+    w = qtensor_from_float_np(
+        rng.standard_normal((256, 128)).astype(np.float32), QuantType.Q8_0,
+        32)
+    from lmrs_tpu.quant import dequantize
+
+    x_small = rng.standard_normal((8, 128)).astype(np.float32)
+    x_big = np.tile(x_small, (80, 1))           # 640 rows > 512 threshold
+    y_big = np.asarray(qmatmul(jnp.asarray(x_big), w, "fast"))
+    ref = x_big @ np.asarray(dequantize(w)).T
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(y_big / scale, ref / scale, atol=2e-2)
+    np.testing.assert_allclose(y_big[:8], y_big[632:], rtol=1e-6, atol=1e-6)
