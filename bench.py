@@ -204,21 +204,26 @@ def bench_image_encode(f, cfg, params):
     # tunnel) and bloat the program
     vf = jax.jit(lambda vp, p: vision_forward(vp, vcfg, p))
 
+    # chain N encodes per timing with ONE final sync — a single
+    # device→host fetch through the tunnel costs ~30-80 ms, which would
+    # otherwise swamp a ~15 ms encode
+    reps = 5
+
     def run_batched():
         t0 = time.perf_counter()
-        f = vf(vparams, patches)
-        _ = float(jnp.sum(f[:, 0, 0]))
-        return time.perf_counter() - t0, f
+        fs = [vf(vparams, patches) for _ in range(reps)]
+        _ = float(sum(jnp.sum(f[:, 0, 0]) for f in fs))
+        return (time.perf_counter() - t0) / reps, fs[0]
 
     def run_seq():
         t0 = time.perf_counter()
-        outs = [vf(vparams, patches[j:j + 1]) for j in range(n_c)]
+        outs = []
+        for _ in range(reps):
+            outs = [vf(vparams, patches[j:j + 1]) for j in range(n_c)]
         _ = float(sum(jnp.sum(o[:, 0, 0]) for o in outs))
-        return time.perf_counter() - t0, outs
+        return (time.perf_counter() - t0) / reps, outs
 
-    # warm up the EXACT timed code paths (compiles + sync programs), then
-    # take the median of 3 — single-call timing through the tunnel includes
-    # a ~30-80 ms fetch, identical for both variants
+    # warm up the EXACT timed code paths (compiles + sync programs)
     run_batched()
     run_seq()
     import statistics
