@@ -57,8 +57,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max-new-tokens", type=int, default=4096)
     p.add_argument("--impl", choices=["fast", "exact"], default="fast",
                    help="matmul path: 'fast' = fused Pallas dequant kernels"
-                        " (W8A16/W4A16); 'exact' = bit-parity with lm.rs "
-                        "(integer dots + activation re-quantization)")
+                        " (Q8 decode runs W8A8, the reference's own integer"
+                        " scheme; Q4/prefill run W4A16/W8A16); 'exact' = "
+                        "bit-parity XLA path")
     p.add_argument("--seq-len", dest="seq_len", type=int, default=None,
                    help="override the context length (the reference clamps "
                         "to 8192 to bound its host-RAM f32 cache; the TPU "
@@ -89,7 +90,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     f = read_lmrs(args.model)
     # the .lmrs header carries no runtime knobs — select the matmul path
     fuse = args.impl == "fast"
-    f.cfg = f.cfg.replace(matmul_impl=args.impl, fuse_ffn=fuse)
+    # fuse_ffn off: the stacked fused-xe FFN measures equal to the unfused
+    # path (58.8 vs 58.9 tok/s, gemma-9b Q4) and benches run unfused
+    f.cfg = f.cfg.replace(matmul_impl=args.impl, fuse_ffn=False)
     if args.seq_len:
         f.cfg = f.cfg.replace(seq_len=args.seq_len)
     cfg = f.cfg
@@ -100,7 +103,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     # scan-fast layout: stacked weights + fused [q;k;v]/[gate;up] with the
     # scalar-prefetch kernels; packed-resident Q4 (the xe kernels made it
     # faster than int8 expansion in round 2)
-    params = params_from_lmrs(f, fuse_qkv=fuse, fuse_ffn=fuse)
+    params = params_from_lmrs(f, fuse_qkv=fuse)
     print("Done.\n")
 
     engine = Engine(cfg, params,

@@ -66,9 +66,11 @@ def qmatmul(x: jax.Array, w: QTensor, impl: str = "exact",
     src/transformer.rs:424-437) and the contraction is integer-exact —
     bit-parity with lm.rs.
 
-    impl="fast": fused Pallas dequant-matmul (W8A32/W4A32) — weights stream
-    HBM→VMEM once, packed int4 unpacks in VMEM; skips the reference's lossy
-    activation quantization.  The throughput path.
+    impl="fast": fused Pallas dequant-matmul — weights stream HBM→VMEM
+    once, packed int4 unpacks in VMEM.  Q8 decode-shaped stacked calls run
+    W8A8 (the reference's own integer scheme, matching the exact path to
+    ~1e-7); Q4 and prefill run W4A16/W8A16 (no activation quantization).
+    The throughput path.
     """
     if impl == "fast" and w.qtype != QuantType.NONE:
         from lmrs_tpu.kernels.dequant_matmul import (qmatmul_pallas,

@@ -65,11 +65,12 @@ class BackendServer:
         # serving default is the fast fused-kernel path; the .lmrs header
         # carries no runtime knobs
         fuse = matmul_impl == "fast"
+        # fuse_ffn off to match the benchmarked serving configuration (the
+        # fused-xe FFN measures equal; see bench.py)
         self.file.cfg = self.file.cfg.replace(matmul_impl=matmul_impl,
-                                              fuse_ffn=fuse)
+                                              fuse_ffn=False)
         self.cfg = self.file.cfg
-        self.params = params_from_lmrs(self.file, fuse_qkv=fuse,
-                                       fuse_ffn=fuse)
+        self.params = params_from_lmrs(self.file, fuse_qkv=fuse)
         self.cache_dtype = (jnp.bfloat16 if cache_dtype == "bfloat16"
                             else jnp.float32)
         self.temperature = temperature

@@ -68,7 +68,6 @@ class _Slot:
     pending: Optional[Request] = None
     pending_x: Optional[object] = None   # prompt embeddings (N, D)
     pending_off: int = 0
-    pending_base: int = 0
 
 
 @dataclasses.dataclass
@@ -207,7 +206,12 @@ class BatchScheduler:
         """Feed precomputed embeddings (multimodal image prefix) into a
         leased conversation's cache without sampling."""
         slot = self.slots[lease.slot_idx]
-        slot.pos = self._run_prefill(lease.slot_idx, jnp.asarray(embeds),
+        embeds = jnp.asarray(embeds)
+        if slot.pos + embeds.shape[0] + 1 > self.S:
+            raise ValueError(
+                f"image prefix of {embeds.shape[0]} embeddings at pos "
+                f"{slot.pos} exceeds max context {self.S}")
+        slot.pos = self._run_prefill(lease.slot_idx, embeds,
                                      slot.pos, want_logits=False)[1]
 
     @property
@@ -265,7 +269,6 @@ class BatchScheduler:
                 self.params,
                 tokens=jnp.asarray(np.asarray(req.prompt, np.int32)))
             slot.pending_off = 0
-            slot.pending_base = slot.pos
 
     def _run_prefill(self, slot_idx: int, x, pos: int,
                      want_logits: bool = True):

@@ -129,7 +129,7 @@ def delta_time(fn, x0, ws, n_short=40, n_long=240, reps=7):
     return (tl - ts) / (n_long - n_short)
 
 
-def make_variant(name, ws, o_tile, k_tile):
+def make_variant(name, o_tile, k_tile):
     def call(x, w):
         if name == "q8-cur" or name == "q4-cur":
             return qmatmul_pallas(x, w, o_tile=o_tile, k_tile=k_tile)
@@ -147,7 +147,8 @@ def make_variant(name, ws, o_tile, k_tile):
         if name == "none":
             return convert_only(x, w, o_tile or 512)
         if name == "dense":
-            return x @ w._dense.T
+            # dense variant receives a plain bf16 array instead of a QTensor
+            return (x.astype(jnp.bfloat16) @ w.T).astype(jnp.float32)
         raise ValueError(name)
 
     return call
@@ -156,13 +157,12 @@ def make_variant(name, ws, o_tile, k_tile):
 def bench_shape(shape_name, o, k, qtype, variants, t, gs, o_tile, k_tile):
     rng = np.random.default_rng(0)
     need_dense = "dense" in variants
-    ws = []
+    ws, dense_ws = [], []
     for i in range(N_W):
         wf = rng.standard_normal((o, k)).astype(np.float32) * 0.05
-        w = qtensor_from_float_np(wf, qtype, gs)
+        ws.append(qtensor_from_float_np(wf, qtype, gs))
         if need_dense:
-            w._dense = jnp.asarray(wf, jnp.bfloat16)
-        ws.append(w)
+            dense_ws.append(jnp.asarray(wf, jnp.bfloat16))
     nbytes = ws[0].q.nbytes + ws[0].s.nbytes
     x0 = jnp.asarray(rng.standard_normal((t, k)).astype(np.float32))
     import jax as _jax
@@ -177,8 +177,8 @@ def bench_shape(shape_name, o, k, qtype, variants, t, gs, o_tile, k_tile):
         if v == "none" and qtype != QuantType.Q8_0:
             continue
         try:
-            fn = make_variant(v, ws, o_tile, k_tile)
-            per = delta_time(fn, x0, ws)
+            fn = make_variant(v, o_tile, k_tile)
+            per = delta_time(fn, x0, dense_ws if v == "dense" else ws)
             print(f"  {v:8s} {per*1e3:7.3f} ms/call  "
                   f"{nbytes/per/1e9:6.0f} GB/s", flush=True)
         except Exception as e:

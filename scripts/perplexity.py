@@ -60,12 +60,15 @@ def score_tokens(cfg, params, tokens: np.ndarray, chunk: int = 128,
     pos = 0
     while pos < n - 1:
         t_chunk = min(chunk, n - pos)
+        # cap the padded cache write at seq_len: dynamic_update_slice CLAMPS
+        # out-of-range starts, which would shift the chunk back over real KV
+        # history (same hazard as engine.prefill_embeds)
+        width = min(chunk, cfg.seq_len - pos)
         toks = tokens[pos:pos + t_chunk]
-        pad = chunk - t_chunk
-        if pad:
-            toks = np.pad(toks, (0, pad))
+        if t_chunk < width:
+            toks = np.pad(toks, (0, width - t_chunk))
         attn_len = min(
-            max(chunk, 1 << (pos + chunk - 1).bit_length()), cfg.seq_len)
+            max(chunk, 1 << (pos + width - 1).bit_length()), cfg.seq_len)
         logp, cache = step(params, cache, jnp.asarray(toks),
                            jnp.int32(pos), attn_len)
         logp = np.asarray(logp)  # (chunk, V)

@@ -275,3 +275,17 @@ def test_batched_scan_fast_layout(model):
     for i in range(len(PROMPTS)):
         assert done[i] == fast_engine_out[i], (i, done[i],
                                                fast_engine_out[i])
+
+
+def test_prefill_embeds_rejects_overflow(model):
+    """A multimodal image prefix that would push a leased slot past max
+    context must be rejected instead of clamp-corrupting the cache."""
+    cfg, params = model
+    sched = BatchScheduler(cfg, params, max_batch=2, max_ctx=32,
+                           cache_dtype=jnp.float32, prefill_chunk=8,
+                           decode_chunk=4, min_attn_bucket=16,
+                           temperature=0.0)
+    lease = sched.new_conversation()
+    embeds = jnp.zeros((40, cfg.dim), jnp.float32)
+    with pytest.raises(ValueError, match="exceeds max context"):
+        sched.prefill_embeds(lease, embeds)
