@@ -521,3 +521,131 @@ def make_cp_step(cfg: ModelConfig, mesh: Mesh, param_spec, t: int):
         out_specs=(P(), cache_spec),
         check_vma=False)
     return jax.jit(sm, donate_argnums=(1,))
+
+
+# ---------------------------------------------------------------------------
+# Combined (tp, cp) 2-D mesh: weights tensor-parallel over "tp", the KV
+# cache sequence-parallel over "cp" — heads and sequence shard on
+# orthogonal axes, so attention is head-local per tp shard and merges over
+# cp with the online-softmax reduction.
+# ---------------------------------------------------------------------------
+
+def tpcp_cache_spec() -> P:
+    """KV cache (L, S, KH, hd): sequence on cp, kv heads on tp."""
+    return P(None, CP_AXIS, AXIS, None)
+
+
+def init_tpcp_cache(cfg: ModelConfig, mesh: Mesh, dtype=jnp.bfloat16,
+                    seq_len: Optional[int] = None) -> KVCache:
+    s = seq_len or cfg.seq_len
+    shape = (cfg.n_layers, s, cfg.n_kv_heads, cfg.cache_head_dim)
+    sh = NamedSharding(mesh, tpcp_cache_spec())
+    return KVCache(k=jax.device_put(jnp.zeros(shape, dtype), sh),
+                   v=jax.device_put(jnp.zeros(shape, dtype), sh))
+
+
+def forward_tpcp(params: TransformerParams, cfg: ModelConfig, tp: int,
+                 cache: KVCache, tokens: jax.Array, pos: jax.Array,
+                 logit_idx=None):
+    """Shard-local forward on a (tp, cp) mesh: Megatron weight placement
+    (see forward_tp) with the cache sequence axis additionally sharded
+    over cp.  Projections/FFN replicate over cp (each cp shard computes
+    the same tp-local matmuls); the cache write lands on the owning
+    (tp-row, cp-column) shard and attention merges over cp."""
+    from lmrs_tpu.ops.attention import attention_cp
+
+    x = _embed_tp(params, cfg, tp, tokens)
+    t_q = x.shape[0]
+    cos = jax.lax.dynamic_slice(params.rope_cos, (pos, 0),
+                                (t_q, params.rope_cos.shape[1]))
+    sin = jax.lax.dynamic_slice(params.rope_sin, (pos, 0),
+                                (t_q, params.rope_sin.shape[1]))
+    k_c, v_c = cache.k, cache.v
+    s_loc = k_c.shape[1]
+    is_gemma = cfg.model_type == ModelType.GEMMA
+    h_loc = cfg.n_heads // tp
+    kh_loc = cfg.n_kv_heads // tp
+    a_loc = cfg.att_dim // tp
+    kv_loc = cfg.kv_dim // tp
+    hid_loc = cfg.hidden_dim // tp
+
+    for l, lw in enumerate(params.layers):
+        xb = rmsnorm(x, lw.att_norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+        qkv = qmatmul(xb, _local(lw.wqkv), cfg.matmul_impl)
+        q = qkv[:, :a_loc].reshape(t_q, h_loc, cfg.head_dim)
+        k = qkv[:, a_loc:a_loc + kv_loc].reshape(t_q, kh_loc, cfg.head_dim)
+        v = qkv[:, a_loc + kv_loc:].reshape(t_q, kh_loc, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        hd_pad = cfg.cache_head_dim - cfg.head_dim
+        if hd_pad:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, hd_pad)))
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, hd_pad)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, hd_pad)))
+
+        k_c = _cp_masked_write(k_c, k, l, pos, s_loc)
+        v_c = _cp_masked_write(v_c, v, l, pos, s_loc)
+
+        att = attention_cp(q, k_c[l], v_c[l], pos, CP_AXIS,
+                           scale=cfg.attn_scale,
+                           softcap=cfg.attn_logit_softcap,
+                           window=cfg.sliding_window)
+        if hd_pad:
+            att = att[..., : cfg.head_dim]
+        o = qmatmul(att.reshape(t_q, a_loc), _local(lw.wo), cfg.matmul_impl)
+        o = jax.lax.psum(o, AXIS)
+        if is_gemma:
+            h = rmsnorm(o, lw.post_att_norm, cfg.rms_norm_eps, True)
+            x = x + h
+            xb2 = rmsnorm(x, lw.pre_ffn_norm, cfg.rms_norm_eps, True)
+        else:
+            x = x + o
+            xb2 = rmsnorm(x, lw.post_att_norm, cfg.rms_norm_eps, False)
+        gu = qmatmul(xb2, _local(lw.w13), cfg.matmul_impl)
+        gate, up = gu[:, :hid_loc], gu[:, hid_loc:]
+        act = (gelu_tanh(gate) if is_gemma else silu(gate)) * up
+        ff = qmatmul(act, _local(lw.w2), cfg.matmul_impl)
+        ff = jax.lax.psum(ff, AXIS)
+        if is_gemma:
+            x = x + rmsnorm(ff, lw.post_ffn_norm, cfg.rms_norm_eps, True)
+        else:
+            x = x + ff
+
+    new_cache = KVCache(k=k_c, v=v_c)
+    if logit_idx is None:
+        return None, new_cache
+    xl = jax.lax.dynamic_slice(x, (logit_idx, 0), (1, cfg.dim))
+    xl = rmsnorm(xl, params.final_norm, cfg.rms_norm_eps,
+                 cfg.norm_unit_offset)
+    cls = params.embed if cfg.tied_lm_head else params.lm_head
+    logits_loc = qmatmul(xl, _local(cls), cfg.matmul_impl)[0]
+    logits = jax.lax.all_gather(logits_loc, AXIS, axis=0, tiled=True)
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        if cfg.parity_gemma_softcap_bug:
+            head = jnp.tanh(logits[: cfg.dim] / cap) * cap
+            logits = jnp.concatenate([head, logits[cfg.dim:]])
+        else:
+            logits = jnp.tanh(logits / cap) * cap
+    return logits, new_cache
+
+
+def make_tpcp_step(cfg: ModelConfig, mesh: Mesh, param_spec, t: int):
+    """Jitted shard_map step over a (tp, cp) mesh.
+
+    `mesh` must carry axes ("tp", "cp"); weight specs come from
+    build_tp_params on the same mesh (weights replicate over cp
+    automatically — their specs only name the tp axis)."""
+    tp = mesh.shape[AXIS]
+
+    def step(params, cache, tokens, pos):
+        return forward_tpcp(params, cfg, tp, cache, tokens, pos,
+                            logit_idx=jnp.int32(t - 1))
+
+    cache_spec = KVCache(tpcp_cache_spec(), tpcp_cache_spec())
+    sm = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(param_spec, cache_spec, P(), P()),
+        out_specs=(P(), cache_spec),
+        check_vma=False)
+    return jax.jit(sm, donate_argnums=(1,))

@@ -190,3 +190,52 @@ def test_cp_decode_matches_single_device():
                                    rtol=2e-2, atol=2e-2)
         assert int(np.argmax(cp_logits)) == int(np.argmax(ref_logits))
         tok = int(np.argmax(cp_logits))
+
+
+def test_tpcp_2d_mesh_decode():
+    """Combined (tp=2, cp=4) mesh over 8 devices: tensor-parallel weights
+    AND a sequence-sharded cache in one decode step, matching the
+    single-device fast engine greedily across cp shard boundaries."""
+    from lmrs_tpu.parallel.tp import (build_tp_params, init_tpcp_cache,
+                                      make_tpcp_step)
+
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, dim=64,
+                      hidden_dim=128, n_layers=2, n_heads=8, head_dim=16,
+                      n_kv_heads=4, vocab_size=512, seq_len=64,
+                      group_size=16, matmul_impl="fast")
+    weights = random_weights(cfg, seed=21)
+    tensors = _quantized_tensors(cfg, weights)
+    ref_params = params_from_weights(cfg, weights, stack_layers=False,
+                                     fuse_qkv=True)
+    ref_cache = init_kv_cache(cfg, jnp.float32)
+
+    mesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("tp", "cp"))
+    tp_params, spec = build_tp_params(cfg, tensors, mesh)
+    cache = init_tpcp_cache(cfg, mesh, jnp.float32)   # 16 seq rows/shard
+
+    from lmrs_tpu.models.transformer import embed_tokens
+    prompt = jnp.asarray(np.random.default_rng(1).integers(1, 500, 16),
+                         jnp.int32)
+    x = embed_tokens(ref_params, cfg, prompt)
+    ref_logits, ref_cache = jax.jit(
+        lambda p, c, x: forward(p, cfg, c, x, jnp.int32(0), 64,
+                                jnp.int32(15)))(ref_params, ref_cache, x)
+
+    pre = make_tpcp_step(cfg, mesh, spec, t=16)
+    logits, cache = pre(tp_params, cache, prompt, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-2, atol=2e-2)
+    assert int(np.argmax(logits)) == int(np.argmax(ref_logits))
+
+    dec = make_tpcp_step(cfg, mesh, spec, t=1)
+    tok = int(np.argmax(logits))
+    for pos in range(16, 20):   # crosses the shard-0→1 boundary at 16
+        x1 = embed_tokens(ref_params, cfg, jnp.asarray([tok], jnp.int32))
+        ref_logits, ref_cache = jax.jit(
+            lambda p, c, x, q: forward(p, cfg, c, x, q, 64, jnp.int32(0))
+        )(ref_params, ref_cache, x1, jnp.int32(pos))
+        logits, cache = dec(tp_params, cache,
+                            jnp.asarray([tok], jnp.int32), jnp.int32(pos))
+        assert int(np.argmax(logits)) == int(np.argmax(ref_logits))
+        tok = int(np.argmax(logits))
