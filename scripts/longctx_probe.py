@@ -47,10 +47,10 @@ def main():
         os.replace(path + ".tmp", path)
 
     f = read_lmrs(path)
-    # extend the context window beyond the header's 8192
-    f.cfg = f.cfg.replace(seq_len=S, matmul_impl="fast", fuse_ffn=True)
-    params = params_from_lmrs(f, stack_layers=False, fuse_qkv=True,
-                              fuse_ffn=True)
+    # extend the context window beyond the header's 8192; scan-fast layout
+    # (the serving default)
+    f.cfg = f.cfg.replace(seq_len=S, matmul_impl="fast", fuse_ffn=False)
+    params = params_from_lmrs(f, stack_layers=True, fuse_qkv=True)
     jax.block_until_ready(jax.tree_util.tree_leaves(params))
     print(f"{config_name} {quant_name} seq_len={S} "
           f"device={jax.devices()[0]}", flush=True)
