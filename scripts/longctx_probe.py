@@ -61,9 +61,9 @@ def main():
     print(f"KV cache: {kv_gb:.1f} GB", flush=True)
 
     rng = np.random.default_rng(0)
-    n_new = 96
+    n_new = 192
     gen = GenerationConfig(temperature=0.0, max_new_tokens=n_new)
-    positions = [1024, 8192, S - n_new - 8]
+    positions = [1024, 8192, S - n_new - 8]  # steady-state: 6 decode chunks
     results = {}
     for target in positions:
         n_prompt = target - 1
