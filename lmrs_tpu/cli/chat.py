@@ -64,6 +64,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="override the context length (the reference clamps "
                         "to 8192 to bound its host-RAM f32 cache; the TPU "
                         "bf16 cache can go further, HBM permitting)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways: shard the weights over a "
+                        "tp-axis device mesh (Megatron column/row-parallel "
+                        "under shard_map)")
+    p.add_argument("--cp", type=int, default=1,
+                   help="context-parallel ways: shard the KV cache's "
+                        "sequence axis — context capacity scales with cp")
     return p
 
 
@@ -100,15 +107,23 @@ def main(argv: Optional[List[str]] = None) -> None:
     if cfg.quant.value:
         print(f"Using {cfg.quant.name} quantization.")
     print("Loading weights...")
-    # scan-fast layout: stacked weights + fused [q;k;v]/[gate;up] with the
-    # scalar-prefetch kernels; packed-resident Q4 (the xe kernels made it
-    # faster than int8 expansion in round 2)
-    params = params_from_lmrs(f, fuse_qkv=fuse)
-    print("Done.\n")
+    cache_dtype = (jnp.bfloat16 if args.cache_dtype == "bfloat16"
+                   else jnp.float32)
+    if args.tp > 1 or args.cp > 1:
+        # multi-chip serving: the same Engine API over a (tp[, cp]) mesh
+        from lmrs_tpu.parallel.tp import make_mesh_engine
 
-    engine = Engine(cfg, params,
-                    cache_dtype=jnp.bfloat16 if args.cache_dtype == "bfloat16"
-                    else jnp.float32)
+        engine = make_mesh_engine(f, tp=args.tp, cp=args.cp,
+                                  cache_dtype=cache_dtype)
+        print(f"Done (mesh: tp={args.tp} cp={args.cp}).\n")
+        params = engine.params
+    else:
+        # scan-fast layout: stacked weights + fused [q;k;v]/[gate;up] with
+        # the scalar-prefetch kernels; packed-resident Q4 (the xe kernels
+        # made it faster than int8 expansion in round 2)
+        params = params_from_lmrs(f, fuse_qkv=fuse)
+        print("Done.\n")
+        engine = Engine(cfg, params, cache_dtype=cache_dtype)
     gen = GenerationConfig(temperature=args.temperature, top_p=args.top_p,
                            seed=args.seed, max_new_tokens=args.max_new_tokens)
 
@@ -116,6 +131,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.image:
         if not cfg.multimodal:
             sys.exit("Cannot use images in a non-multimodal model.")
+        if args.tp > 1 or args.cp > 1:
+            sys.exit("--image with --tp/--cp is not supported yet (the "
+                     "vision encoder runs single-chip).")
         from lmrs_tpu.models.phi3v import encode_image_to_embeds
 
         print("Preprocessing the image...")

@@ -113,6 +113,19 @@ class ModelConfig:
     # default: we apply the softcap to ALL logits, which is what Gemma-2
     # actually specifies; flip on for bit-parity testing against lm.rs.
     parity_gemma_softcap_bug: bool = False
+    # --- multi-chip (set on the LOCAL config a shard_map body runs with) ---
+    # tp_axis: mesh axis name for tensor parallelism.  The forward pass then
+    # expects Megatron-placed LOCAL weights (column-parallel fused wqkv/w13,
+    # row-parallel wo/w2, vocab-sharded embed/lm_head, kv-head-sharded cache)
+    # and inserts the psum/all_gather collectives itself — n_heads,
+    # n_kv_heads and hidden_dim in this config must already be the LOCAL
+    # (divided) values (see parallel.tp.local_config).
+    tp_axis: Optional[str] = None
+    # cp_axis: mesh axis name for context parallelism.  The KV cache's
+    # sequence axis is sharded over it: cache writes land on the owning
+    # shard (masked write) and attention merges across shards with an
+    # online-softmax reduction (ops.attention.attention_cp).
+    cp_axis: Optional[str] = None
 
     def __post_init__(self):
         from lmrs_tpu.quant import QuantType  # local import to avoid cycle
@@ -248,6 +261,25 @@ def phi35_vision_aux(quant, group_size: int = 128):
                             group_size=group_size))
 
 
+def tiny_llama(**kw) -> ModelConfig:
+    """Small synthetic config for CPU-mesh smoke runs of the full product
+    surface (bench.py / backend with LMRS_BENCH_CONFIG=tiny-llama) — not a
+    published model."""
+    kw.setdefault("group_size", 32)
+    return ModelConfig.make(
+        ModelType.LLAMA, dim=256, hidden_dim=512, n_layers=4, n_heads=8,
+        head_dim=32, n_kv_heads=4, vocab_size=2048, seq_len=512,
+        rms_norm_eps=1e-5, rope_theta=500000.0, **kw)
+
+
+def tiny_gemma(**kw) -> ModelConfig:
+    kw.setdefault("group_size", 32)
+    return ModelConfig.make(
+        ModelType.GEMMA, dim=256, hidden_dim=512, n_layers=4, n_heads=8,
+        head_dim=32, n_kv_heads=4, vocab_size=2048, seq_len=512,
+        rms_norm_eps=1e-6, rope_theta=10000.0, **kw)
+
+
 PRESETS = {
     "gemma2-2b": gemma2_2b,
     "gemma2-9b": gemma2_9b,
@@ -255,4 +287,6 @@ PRESETS = {
     "llama3.2-3b": llama32_3b,
     "phi3.5-mini": phi35_mini,
     "phi3.5-vision": phi35_vision,
+    "tiny-llama": tiny_llama,
+    "tiny-gemma": tiny_gemma,
 }

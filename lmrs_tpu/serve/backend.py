@@ -53,7 +53,8 @@ class BackendServer:
                  seed: Optional[int] = None, multimodal: bool = False,
                  num_crops: int = 1, cache_dtype: str = "bfloat16",
                  max_new_tokens: Optional[int] = None, batch: int = 0,
-                 max_ctx: Optional[int] = None, matmul_impl: str = "fast"):
+                 max_ctx: Optional[int] = None, matmul_impl: str = "fast",
+                 tp: int = 1, cp: int = 1):
         import jax.numpy as jnp
 
         from lmrs_tpu.io.lmrs import read_lmrs
@@ -70,7 +71,27 @@ class BackendServer:
         self.file.cfg = self.file.cfg.replace(matmul_impl=matmul_impl,
                                               fuse_ffn=False)
         self.cfg = self.file.cfg
-        self.params = params_from_lmrs(self.file, fuse_qkv=fuse)
+        self.tp, self.cp = tp, cp
+        self._mesh_engine_proto = None
+        if tp > 1 or cp > 1:
+            # multi-chip serving: build the mesh/sharded params ONCE; each
+            # connection gets its own Engine over the shared params +
+            # compiled programs (engine._mesh_fns_cached)
+            if batch > 0:
+                raise ValueError("--batch with --tp/--cp is not supported "
+                                 "yet (the scheduler is single-device)")
+            if multimodal:
+                raise ValueError("--multimodal with --tp/--cp is not "
+                                 "supported yet")
+            from lmrs_tpu.parallel.tp import make_mesh_engine
+
+            self._mesh_engine_proto = make_mesh_engine(
+                self.file, tp=tp, cp=cp,
+                cache_dtype=jnp.bfloat16 if cache_dtype == "bfloat16"
+                else jnp.float32)
+            self.params = self._mesh_engine_proto.params
+        else:
+            self.params = params_from_lmrs(self.file, fuse_qkv=fuse)
         self.cache_dtype = (jnp.bfloat16 if cache_dtype == "bfloat16"
                             else jnp.float32)
         self.temperature = temperature
@@ -100,7 +121,19 @@ class BackendServer:
     def _new_engine(self):
         from lmrs_tpu.runtime.engine import Engine
 
+        if self._mesh_engine_proto is not None:
+            proto = self._mesh_engine_proto
+            return Engine(self.cfg, self.params,
+                          cache_dtype=self.cache_dtype,
+                          mesh=proto.mesh,
+                          param_spec=None if proto.mesh is None else
+                          self._proto_spec())
         return Engine(self.cfg, self.params, cache_dtype=self.cache_dtype)
+
+    def _proto_spec(self):
+        import jax
+
+        return jax.tree.map(lambda a: a.sharding.spec, self.params)
 
     # ------------------------------------------------------------------
     async def handle(self, ws):
@@ -385,6 +418,11 @@ def main(argv=None):
     p.add_argument("--max-ctx", dest="max_ctx", type=int, default=None,
                    help="per-slot context length in batch mode")
     p.add_argument("--impl", choices=["fast", "exact"], default="fast")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways (Megatron shard_map over a "
+                        "tp-axis device mesh)")
+    p.add_argument("--cp", type=int, default=1,
+                   help="context-parallel ways (sequence-sharded KV cache)")
     args = p.parse_args(argv)
 
     from lmrs_tpu.runtime.compile_cache import enable_compilation_cache
@@ -392,7 +430,8 @@ def main(argv=None):
     server = BackendServer(args.model, args.tokenizer, args.temperature,
                            args.top_p, args.seed, args.multimodal,
                            args.num_crops, batch=args.batch,
-                           max_ctx=args.max_ctx, matmul_impl=args.impl)
+                           max_ctx=args.max_ctx, matmul_impl=args.impl,
+                           tp=args.tp, cp=args.cp)
     try:
         asyncio.run(server.serve(args.ip, args.port))
     except KeyboardInterrupt:

@@ -17,7 +17,10 @@ Design:
 * Decode runs in fused chunks of `decode_chunk` steps (one dispatch per
   chunk); admission happens between chunks.  A freed slot's stale cache
   rows sit beyond the new sequence's `pos` and are causally masked.
-* Sampling temperature/top_p are scheduler-wide (static under jit);
+* Sampling temperature/top_p are PER-REQUEST device arrays inside the
+  jitted chunk (ops.sampling.sample_batched) — one compiled program serves
+  any mix of greedy and sampled requests, like the reference's per-
+  connection Sampler (reference: src/bin/backend.rs:139-153);
   max_new_tokens and stop tokens are per-request host state.
 """
 
@@ -38,8 +41,8 @@ from lmrs_tpu.config import ModelConfig
 from lmrs_tpu.models.transformer import (KVCache, TransformerParams,
                                          embed_tokens, forward,
                                          forward_batched)
-from lmrs_tpu.ops.sampling import (sample_argmax, sample_multinomial,
-                                   sample_topp)
+from lmrs_tpu.ops.sampling import (sample_argmax, sample_batched,
+                                   sample_multinomial, sample_topp)
 
 
 @dataclasses.dataclass
@@ -49,6 +52,9 @@ class Request:
     stop_tokens: frozenset = frozenset()
     on_token: Optional[Callable[[int], None]] = None
     on_done: Optional[Callable[[List[int]], None]] = None
+    # per-request sampling parameters (None → the scheduler's defaults)
+    temperature: Optional[float] = None
+    top_p: Optional[float] = None
     # filled by the scheduler
     id: int = -1
     out: List[int] = dataclasses.field(default_factory=list)
@@ -135,23 +141,17 @@ class BatchScheduler:
         self._prefill_slot = _prefill_slot
 
         @partial(jax.jit,
-                 static_argnames=("n_steps", "attn_len", "temperature",
-                                  "top_p"),
+                 static_argnames=("n_steps", "attn_len"),
                  donate_argnames=("k", "v"))
-        def _decode_chunk_b(params, k, v, tokens, pos, key, n_steps,
-                            attn_len, temperature, top_p):
+        def _decode_chunk_b(params, k, v, tokens, pos, temps, top_ps, key,
+                            n_steps, attn_len):
             def step(carry, _):
                 toks, p, k, v, key = carry
                 x = embed_tokens(params, cfg, toks)
                 logits, cache = forward_batched(
                     params, cfg, KVCache(k, v), x, p, attn_len)
                 key, sub = jax.random.split(key)
-                if temperature == 0.0:
-                    nxt = sample_argmax(logits)
-                elif top_p <= 0.0 or top_p >= 1.0:
-                    nxt = sample_multinomial(logits, temperature, sub)
-                else:
-                    nxt = sample_topp(logits, temperature, top_p, sub)
+                nxt = sample_batched(logits, temps, top_ps, sub)
                 return (nxt, p + 1, cache.k, cache.v, key), nxt
 
             (toks, pos, k, v, key), all_toks = jax.lax.scan(
@@ -167,6 +167,8 @@ class BatchScheduler:
                on_token: Optional[Callable[[int], None]] = None,
                on_done: Optional[Callable[[List[int]], None]] = None,
                lease: Optional[Lease] = None,
+               temperature: Optional[float] = None,
+               top_p: Optional[float] = None,
                ) -> Request:
         base = 0 if lease is None else self.slots[lease.slot_idx].pos
         if base + len(prompt) + 1 > self.S:
@@ -175,7 +177,10 @@ class BatchScheduler:
         req = Request(prompt=list(prompt), max_new_tokens=max_new_tokens,
                       stop_tokens=frozenset(int(t) for t in stop_tokens),
                       on_token=on_token, on_done=on_done,
-                      id=next(self._ids), submit_time=time.perf_counter())
+                      id=next(self._ids), submit_time=time.perf_counter(),
+                      temperature=(self.temperature if temperature is None
+                                   else temperature),
+                      top_p=self.top_p if top_p is None else top_p)
         req.lease = lease
         with self._lock:
             self.waiting.append(req)
@@ -331,16 +336,17 @@ class BatchScheduler:
             slot.pending_off = off + chunk
             if not last:
                 continue
-            # prompt complete: sample the first token, activate
+            # prompt complete: sample the first token with the REQUEST's
+            # parameters, activate
             self.key, sub = jax.random.split(self.key)
-            if self.temperature == 0.0:
+            if req.temperature == 0.0:
                 first = int(sample_argmax(logits))
-            elif self.top_p <= 0.0 or self.top_p >= 1.0:
-                first = int(sample_multinomial(logits, self.temperature,
+            elif req.top_p <= 0.0 or req.top_p >= 1.0:
+                first = int(sample_multinomial(logits, req.temperature,
                                                sub))
             else:
-                first = int(sample_topp(logits, self.temperature,
-                                        self.top_p, sub))
+                first = int(sample_topp(logits, req.temperature,
+                                        req.top_p, sub))
             req.ttft = time.perf_counter() - req.submit_time
             slot.pending = None
             slot.pending_x = None
@@ -398,17 +404,20 @@ class BatchScheduler:
         # lands in the causally-dead region beyond that slot's history
         # (pos=0 would clobber an idle leased conversation's KV prefix).
         pos = np.asarray([s.pos for s in self.slots], np.int32)
+        temps = np.zeros((self.B,), np.float32)   # inactive lanes: greedy
+        top_ps = np.full((self.B,), 0.9, np.float32)
         for i, s in active:
             tokens[i] = s.req.out[-1]
             pos[i] = s.pos
+            temps[i] = s.req.temperature
+            top_ps[i] = s.req.top_p
         attn_len = self._bucket(int(pos.max()) + n)
         self.key, sub = jax.random.split(self.key)
         t0 = time.perf_counter()
         toks, k, v = self._decode_chunk_b(
             self.params, self.cache.k, self.cache.v,
-            jnp.asarray(tokens), jnp.asarray(pos), sub, n_steps=n,
-            attn_len=attn_len, temperature=self.temperature,
-            top_p=self.top_p)
+            jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(temps),
+            jnp.asarray(top_ps), sub, n_steps=n, attn_len=attn_len)
         self.cache = KVCache(k, v)
         arr = np.asarray(toks)  # (n, B)
         self.decode_seconds += time.perf_counter() - t0

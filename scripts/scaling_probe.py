@@ -1,4 +1,5 @@
-"""Data-parallel scaling measurement: aggregate decode tok/s vs dp width.
+"""Data-parallel scaling measurement: aggregate decode tok/s vs dp width,
+through the SERVING configuration (the scheduler's batched decode step).
 
 BASELINE.md's north star asks for ≥85% scaling efficiency across chips and
 hosts.  On real hardware this script measures it directly; in this
@@ -7,9 +8,15 @@ throughput, but the sharding/collective structure is the real one and the
 efficiency ratio exposes replication bugs — e.g. a dp axis that secretly
 serializes).
 
+What runs per replica is models.transformer.forward_batched — the exact
+step serve/scheduler.py dispatches — with the batch axis sharded over dp.
+On TPU the fast (Pallas scan-fast) layout is used; on the CPU mesh the
+exact XLA path stands in (the Pallas kernels only exist compiled for TPU;
+interpret mode would measure the interpreter, not the sharding).
+
 Usage:
   JAX_PLATFORMS=cpu JAX_NUM_CPU_DEVICES=8 python scripts/scaling_probe.py [dp_list]
-  (on a pod: python scripts/scaling_probe.py 1,2,4 — tp fills the rest)
+  (on a pod: python scripts/scaling_probe.py 1,2,4,8)
 """
 
 import os
@@ -21,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def main():
@@ -31,68 +38,74 @@ def main():
     from lmrs_tpu.config import ModelType
     from lmrs_tpu.io.params import params_from_weights
     from lmrs_tpu.io.synthetic import random_weights, tiny_config
-    from lmrs_tpu.models.transformer import (KVCache, embed_tokens, forward,
-                                             init_kv_cache)
-    from lmrs_tpu.parallel.sharding import make_mesh, tp_param_shardings
+    from lmrs_tpu.models.transformer import (KVCache, embed_tokens,
+                                             forward_batched)
+    from lmrs_tpu.ops.sampling import sample_batched
     from lmrs_tpu.quant import QuantType
 
     n_dev = len(jax.devices())
-    print(f"devices: {n_dev} x {jax.devices()[0].platform}", flush=True)
+    on_tpu = jax.default_backend() == "tpu"
+    impl = "fast" if on_tpu else "exact"
+    print(f"devices: {n_dev} x {jax.devices()[0].platform} (impl={impl})",
+          flush=True)
 
     cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, dim=256,
                       hidden_dim=512, n_layers=4, n_heads=8, head_dim=32,
                       n_kv_heads=4, vocab_size=1024, seq_len=256,
-                      group_size=32)
+                      group_size=32, matmul_impl=impl)
     weights = random_weights(cfg, seed=0)
+    params = params_from_weights(cfg, weights, stack_layers=True,
+                                 fuse_qkv=(impl == "fast"))
 
-    S, STEPS, ATTN = 256, 32, 64
+    STEPS, ATTN = 32, 64
+    per_replica = 4  # serving batch per dp replica
     results = {}
     for dp in dp_list:
         if dp > n_dev:
             continue
-        tp = n_dev // dp
-        mesh = make_mesh(tp=tp, dp=dp, devices=jax.devices()[: dp * tp])
-        params = params_from_weights(cfg, weights,
-                                     shardings=tp_param_shardings(cfg, mesh))
-        batch = dp  # one stream per dp replica
-        c0 = init_kv_cache(cfg, jnp.float32)
-        cache = KVCache(
-            k=jax.device_put(jnp.broadcast_to(c0.k, (batch,) + c0.k.shape),
-                             NamedSharding(mesh, P("dp"))),
-            v=jax.device_put(jnp.broadcast_to(c0.v, (batch,) + c0.v.shape),
-                             NamedSharding(mesh, P("dp"))))
-
-        def one(params, cache, tok, pos):
-            x = embed_tokens(params, cfg, tok[None])
-            logits, cache = forward(params, cfg, cache, x, pos, ATTN,
-                                    jnp.int32(0))
-            return jnp.argmax(logits).astype(jnp.int32), cache
+        mesh = Mesh(np.asarray(jax.devices()[:dp]), ("dp",))
+        batch = dp * per_replica
+        shape = (batch, cfg.n_layers, cfg.seq_len, cfg.n_kv_heads,
+                 cfg.cache_head_dim)
+        csh = NamedSharding(mesh, P("dp"))
+        cache = KVCache(k=jax.device_put(jnp.zeros(shape, jnp.float32), csh),
+                        v=jax.device_put(jnp.zeros(shape, jnp.float32), csh))
+        temps = jax.device_put(jnp.zeros((batch,), jnp.float32),
+                               NamedSharding(mesh, P("dp")))
+        top_ps = jax.device_put(jnp.full((batch,), 0.9, jnp.float32),
+                                NamedSharding(mesh, P("dp")))
 
         @jax.jit
-        def decode_n(params, cache, toks, pos):
+        def decode_n(params, cache, toks, pos, key):
             def step(carry, _):
-                toks, cache, p = carry
-                toks, cache = jax.vmap(one, in_axes=(None, 0, 0, None))(
-                    params, cache, toks, p)
-                return (toks, cache, p + 1), None
+                toks, cache, p, key = carry
+                x = embed_tokens(params, cfg, toks)
+                logits, cache = forward_batched(params, cfg, cache, x, p,
+                                                ATTN)
+                key, sub = jax.random.split(key)
+                nxt = sample_batched(logits, temps, top_ps, sub)
+                return (nxt, cache, p + 1, key), None
 
-            (toks, cache, _), _ = jax.lax.scan(
-                step, (toks, cache, pos), length=STEPS)
+            (toks, cache, _, _), _ = jax.lax.scan(
+                step, (toks, cache, pos, key), length=STEPS)
             return toks, cache
 
         toks = jax.device_put(jnp.ones((batch,), jnp.int32),
                               NamedSharding(mesh, P("dp")))
-        out, cache = decode_n(params, cache, toks, jnp.int32(1))
+        pos = jax.device_put(jnp.ones((batch,), jnp.int32),
+                             NamedSharding(mesh, P("dp")))
+        key = jax.random.PRNGKey(0)
+        out, cache = decode_n(params, cache, toks, pos, key)
         jax.block_until_ready(out)  # compile
         t0 = time.perf_counter()
         reps = 5
         for _ in range(reps):
-            out, cache = decode_n(params, cache, out, jnp.int32(1))
+            out, cache = decode_n(params, cache, out, pos, key)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / reps
         agg = batch * STEPS / dt
         results[dp] = agg
-        print(f"dp={dp} tp={tp}: {agg:8.1f} aggregate tok/s "
+        print(f"dp={dp} (B={batch}): {agg:8.1f} aggregate tok/s "
               f"({STEPS} steps x {batch} streams in {dt * 1000:.0f} ms)",
               flush=True)
 

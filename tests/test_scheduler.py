@@ -289,3 +289,54 @@ def test_prefill_embeds_rejects_overflow(model):
     embeds = jnp.zeros((40, cfg.dim), jnp.float32)
     with pytest.raises(ValueError, match="exceeds max context"):
         sched.prefill_embeds(lease, embeds)
+
+
+def test_mixed_per_request_sampling(model):
+    """Greedy and sampled requests share one batch: the greedy slots must be
+    token-exact vs the single-stream engine regardless of the sampled
+    neighbors (per-request sampling params, reference gives every
+    connection its own Sampler, src/bin/backend.rs:139-153)."""
+    cfg, params = model
+    want = _engine_outputs(cfg, params)
+
+    sched = BatchScheduler(cfg, params, max_batch=4, max_ctx=64,
+                           cache_dtype=jnp.float32, prefill_chunk=8,
+                           decode_chunk=4, min_attn_bucket=32,
+                           temperature=0.0)
+    done = {}
+    sched.submit(PROMPTS[0], max_new_tokens=N_NEW, temperature=0.0,
+                 on_done=lambda out: done.setdefault(0, out))
+    sched.submit(PROMPTS[1], max_new_tokens=N_NEW, temperature=0.8,
+                 top_p=0.9,
+                 on_done=lambda out: done.setdefault(1, out))
+    sched.submit(PROMPTS[2], max_new_tokens=N_NEW, temperature=0.0,
+                 on_done=lambda out: done.setdefault(2, out))
+    sched.run()
+    assert done[0] == want[0]
+    assert done[2] == want[2]
+    assert len(done[1]) == N_NEW
+    assert all(0 <= t < cfg.vocab_size for t in done[1])
+
+
+def test_program_size_constant_in_batch(model):
+    """The batched decode step must be O(1) in B: the jaxpr for B=16 may
+    not be materially larger than for B=4 (round-2 unrolled per-slot loops
+    made it linear; VERDICT r2 missing #5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lmrs_tpu.models.transformer import KVCache, forward_batched
+
+    cfg, params = model
+    sizes = {}
+    for b in (4, 16):
+        shape = (b, cfg.n_layers, 64, cfg.n_kv_heads, cfg.cache_head_dim)
+        cache = KVCache(k=jnp.zeros(shape, jnp.float32),
+                        v=jnp.zeros(shape, jnp.float32))
+        x = jnp.zeros((b, cfg.dim), jnp.float32)
+        pos = jnp.zeros((b,), jnp.int32)
+        jaxpr = jax.make_jaxpr(
+            lambda c, x, p: forward_batched(params, cfg, c, x, p, 32))(
+                cache, x, pos)
+        sizes[b] = len(str(jaxpr))
+    assert sizes[16] < sizes[4] * 1.5, sizes
