@@ -119,11 +119,12 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, o_ref,
 
 def flash_decode_stacked(
     q: jax.Array,            # (T, H, hd) f32, RoPE applied, T <= 8
-    k_cache: jax.Array,      # (L, S, KH, hd) — the FULL stacked cache
+    k_cache: jax.Array,      # (L, S, KH*hd) — the FULL stacked 3D cache
     v_cache: jax.Array,
     layer_idx,               # traced int32
     pos,                     # traced int32: absolute position of q[0]
     *,
+    n_kv: int,               # KV head count (the cache's head axis is merged)
     attn_len: int,           # static bucket (cache prefix length)
     scale: float,
     softcap: Optional[float] = None,
@@ -137,14 +138,23 @@ def flash_decode_stacked(
     pos, precision="fast") but streamed block-at-a-time with online softmax
     and window-aware block skipping — no (T,KH,G,S) score materialization
     and no O(context) reads for windowed layers.
+
+    The cache arrives with the (KH, hd) axes MERGED — the engine's native
+    3D storage layout, so sequence blocks are contiguous (s_blk, KH*hd)
+    HBM stripes with a packed (seq, lanes) XLA tiling and per-head windows
+    are 128-aligned lane slices in VMEM.  (A 4D (L,S,KH,hd) cache would
+    put (KH, hd) in the tiled minor dims; reshaping it per call inside the
+    decode scan re-materializes the multi-GB buffer — measured 3 tok/s.)
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     t_q, n_heads, hd = q.shape
-    L, S, kh, _ = k_cache.shape
+    L, S, _ = k_cache.shape
+    kh = n_kv
     g = n_heads // kh
     gt = g * t_q
     assert hd % 128 == 0, "flash path requires lane-aligned head dim"
+    assert k_cache.shape[-1] == kh * hd
     assert attn_len <= S
 
     s_blk, n_total, n_blk = _plan_blocks(attn_len, t_q, window, s_blk)
@@ -163,8 +173,8 @@ def flash_decode_stacked(
                     start.astype(jnp.int32),
                     jnp.asarray(pos, jnp.int32)])
 
-    k3 = k_cache.reshape(L, S, kh * hd)
-    v3 = v_cache.reshape(L, S, kh * hd)
+    k3 = k_cache
+    v3 = v_cache
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -261,11 +271,12 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, o_ref,
 
 def flash_decode_batched(
     q: jax.Array,            # (B, H, hd) f32 — one decode token per slot
-    k_cache: jax.Array,      # (B, L, S, KH, hd)
+    k_cache: jax.Array,      # (B, L, S, KH*hd) — 3D-per-slot storage
     v_cache: jax.Array,
     layer_idx,               # traced int32
     pos,                     # (B,) int32 per-slot positions
     *,
+    n_kv: int,
     attn_len: int,
     scale: float,
     softcap: Optional[float] = None,
@@ -279,11 +290,13 @@ def flash_decode_batched(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, n_heads, hd = q.shape
-    _, L, S, kh, _ = k_cache.shape
+    _, L, S, _ = k_cache.shape
+    kh = n_kv
     g = n_heads // kh
     t_q = 1
     gt = g
     assert hd % 128 == 0
+    assert k_cache.shape[-1] == kh * hd
     s_blk, n_total, n_blk = _plan_blocks(attn_len, t_q, window, s_blk)
 
     qk = q.reshape(B, kh, g, hd).astype(jnp.bfloat16)
@@ -298,8 +311,8 @@ def flash_decode_batched(
         start.astype(jnp.int32),
         jnp.asarray(pos, jnp.int32)])
 
-    k4 = k_cache.reshape(B, L, S, kh * hd)
-    v4 = v_cache.reshape(B, L, S, kh * hd)
+    k4 = k_cache
+    v4 = v_cache
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -100,8 +100,17 @@ class TransformerParams:
 )
 @dataclasses.dataclass
 class KVCache:
-    k: jax.Array  # (L, S, KH, head_dim)
-    v: jax.Array  # (L, S, KH, head_dim)
+    """KV cache arrays stored 3D: (L, S, KH*head_dim) (batched:
+    (B, L, S, KH*head_dim)).  Merging the (KH, head_dim) axes puts
+    (sequence, lanes) in XLA's tiled minor dims, so a sequence block is one
+    contiguous packed HBM stripe — the layout the flash kernel streams and
+    head-sharding splits on contiguous lane ranges.  (A 4D layout tiles
+    (KH, head_dim) instead; any KH*hd-merged view of it is a physical
+    relayout, which inside the decode scan re-copied the multi-GB cache
+    per layer per token — measured 3 tok/s at 32k.)"""
+
+    k: jax.Array  # (L, S, KH * head_dim)
+    v: jax.Array  # (L, S, KH * head_dim)
 
 
 def init_kv_cache(cfg: ModelConfig, dtype=jnp.float32, seq_len: Optional[int] = None,
@@ -110,7 +119,7 @@ def init_kv_cache(cfg: ModelConfig, dtype=jnp.float32, seq_len: Optional[int] = 
     src/transformer.rs:227-228; on TPU bfloat16 halves HBM traffic and is the
     default in the engine).  head_dim is lane-padded (cfg.cache_head_dim)."""
     s = seq_len or cfg.seq_len
-    shape = (cfg.n_layers, s, cfg.n_kv_heads, cfg.cache_head_dim)
+    shape = (cfg.n_layers, s, cfg.n_kv_heads * cfg.cache_head_dim)
     z = jnp.zeros(shape, dtype)
     if sharding is not None:
         z = jax.device_put(z, sharding)
@@ -151,23 +160,22 @@ def _flash_eligible(cfg: ModelConfig, t_q: int, attn_len: int) -> bool:
 
 def cp_masked_write(cache_arr: jax.Array, rows: jax.Array, layer_idx,
                     pos, s_loc: int, axis: str) -> jax.Array:
-    """Write T rows at GLOBAL position `pos` into this shard's local
-    sequence block iff the rows fall inside it; other shards re-write their
-    own current rows (no-op).  dynamic_update_slice clamps, so the masked
-    read-modify-write keeps out-of-range shards untouched.  Multi-token
-    writes must not straddle a shard boundary (the engine aligns prefill
-    chunks; decode T=1 is always safe)."""
+    """Write T (KH*hd)-merged rows at GLOBAL position `pos` into this
+    shard's local sequence block iff the rows fall inside it; other shards
+    re-write their own current rows (no-op).  dynamic_update_slice clamps,
+    so the masked read-modify-write keeps out-of-range shards untouched.
+    Multi-token writes must not straddle a shard boundary (the engine
+    aligns prefill chunks; decode T=1 is always safe)."""
     t = rows.shape[0]
     r = jax.lax.axis_index(axis)
     lp = pos - r * s_loc
     ok = (lp >= 0) & (lp <= s_loc - t)
     idx = jnp.clip(lp, 0, s_loc - t)
     old = jax.lax.dynamic_slice(
-        cache_arr, (layer_idx, idx, 0, 0),
-        (1, t, cache_arr.shape[2], cache_arr.shape[3]))
+        cache_arr, (layer_idx, idx, 0), (1, t, cache_arr.shape[2]))
     new = jnp.where(ok, rows[None].astype(cache_arr.dtype), old)
     return jax.lax.dynamic_update_slice(cache_arr, new,
-                                        (layer_idx, idx, 0, 0))
+                                        (layer_idx, idx, 0))
 
 
 def embed_tokens(params: TransformerParams, cfg: ModelConfig,
@@ -279,46 +287,51 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         v = jnp.pad(v, ((0, 0), (0, 0), (0, hd_pad)))
 
     # The cache stores rotated keys, like the reference (which applies RoPE
-    # in-place on cache slices, src/transformer.rs:443,486-491).
+    # in-place on cache slices, src/transformer.rs:443,486-491); rows are
+    # written (KH*hd)-merged (see KVCache).
+    kv_m = cfg.n_kv_heads * cfg.cache_head_dim
+    k_row = k.reshape(t_q, kv_m)
+    v_row = v.reshape(t_q, kv_m)
     if cfg.cp_axis is not None:
         # sequence-sharded cache: the write lands on the owning shard only
         s_loc = k_cache.shape[1]
-        k_cache = cp_masked_write(k_cache, k, layer_idx, pos, s_loc,
+        k_cache = cp_masked_write(k_cache, k_row, layer_idx, pos, s_loc,
                                   cfg.cp_axis)
-        v_cache = cp_masked_write(v_cache, v, layer_idx, pos, s_loc,
+        v_cache = cp_masked_write(v_cache, v_row, layer_idx, pos, s_loc,
                                   cfg.cp_axis)
         from lmrs_tpu.ops.attention import attention_cp
 
         k_att = jax.lax.dynamic_slice(
-            k_cache, (layer_idx, 0, 0, 0),
-            (1, s_loc, cfg.n_kv_heads, cfg.cache_head_dim))[0]
+            k_cache, (layer_idx, 0, 0), (1, s_loc, kv_m))[0] \
+            .reshape(s_loc, cfg.n_kv_heads, cfg.cache_head_dim)
         v_att = jax.lax.dynamic_slice(
-            v_cache, (layer_idx, 0, 0, 0),
-            (1, s_loc, cfg.n_kv_heads, cfg.cache_head_dim))[0]
+            v_cache, (layer_idx, 0, 0), (1, s_loc, kv_m))[0] \
+            .reshape(s_loc, cfg.n_kv_heads, cfg.cache_head_dim)
         att = attention_cp(q, k_att, v_att, pos, cfg.cp_axis,
                            scale=cfg.attn_scale,
                            softcap=cfg.attn_logit_softcap,
                            window=cfg.sliding_window)
     else:
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k[None].astype(k_cache.dtype), (layer_idx, pos, 0, 0))
+            k_cache, k_row[None].astype(k_cache.dtype), (layer_idx, pos, 0))
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v[None].astype(v_cache.dtype), (layer_idx, pos, 0, 0))
+            v_cache, v_row[None].astype(v_cache.dtype), (layer_idx, pos, 0))
 
         if _flash_eligible(cfg, t_q, attn_len):
             from lmrs_tpu.kernels.flash_attention import flash_decode_stacked
 
             att = flash_decode_stacked(
-                q, k_cache, v_cache, layer_idx, pos, attn_len=attn_len,
+                q, k_cache, v_cache, layer_idx, pos,
+                n_kv=cfg.n_kv_heads, attn_len=attn_len,
                 scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
                 window=cfg.sliding_window)
         else:
             k_att = jax.lax.dynamic_slice(
-                k_cache, (layer_idx, 0, 0, 0),
-                (1, attn_len, cfg.n_kv_heads, cfg.cache_head_dim))[0]
+                k_cache, (layer_idx, 0, 0), (1, attn_len, kv_m))[0] \
+                .reshape(attn_len, cfg.n_kv_heads, cfg.cache_head_dim)
             v_att = jax.lax.dynamic_slice(
-                v_cache, (layer_idx, 0, 0, 0),
-                (1, attn_len, cfg.n_kv_heads, cfg.cache_head_dim))[0]
+                v_cache, (layer_idx, 0, 0), (1, attn_len, kv_m))[0] \
+                .reshape(attn_len, cfg.n_kv_heads, cfg.cache_head_dim)
             att = attention(
                 q,
                 k_att,
@@ -388,7 +401,7 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
 
 
 @lru_cache(maxsize=None)
-def _scan_fast_body(cfg: ModelConfig, attn_len: int):
+def _scan_fast_body(cfg: ModelConfig, attn_len: int, t_q: int):
     """Stable scan-body function per (cfg, attn_len).
 
     All traced values (activations, cache, the stacked weights, rope rows,
@@ -414,7 +427,7 @@ def _scan_fast_body(cfg: ModelConfig, attn_len: int):
 
 
 @lru_cache(maxsize=None)
-def _scan_exact_body(cfg: ModelConfig, attn_len: int):
+def _scan_exact_body(cfg: ModelConfig, attn_len: int, t_q: int):
     """Stable scan body for the stacked-exact layout (weights as scan xs)."""
 
     def body(carry, lw):
@@ -468,12 +481,12 @@ def forward(
         norm_xs = (layers.att_norm, layers.post_att_norm,
                    layers.pre_ffn_norm, layers.post_ffn_norm)
         (x, k_new, v_new, _, _, _, _, _), _ = jax.lax.scan(
-            _scan_fast_body(cfg, attn_len),
+            _scan_fast_body(cfg, attn_len, t_q),
             (x, cache.k, cache.v, jnp.int32(0), layers, cos, sin, pos),
             norm_xs)
     else:
         (x, k_new, v_new, _, _, _, _), _ = jax.lax.scan(
-            _scan_exact_body(cfg, attn_len),
+            _scan_exact_body(cfg, attn_len, t_q),
             (x, cache.k, cache.v, jnp.int32(0), cos, sin, pos),
             params.layers)
     new_cache = KVCache(k=k_new, v=v_new)
@@ -517,7 +530,7 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
                    attn_len: int, stacked_idx=None):
     """One decoder layer over a BATCH of single-token slots.
 
-    x (B, D); cache (B, L, S, KH, hd); pos (B,).  Program size is O(1) in
+    x (B, D); cache (B, L, S, KH*hd); pos (B,).  Program size is O(1) in
     B: the cache update is a fori_loop of single-slice DUS ops (a vmapped
     DUS with per-slot positions lowers to scatter, which copies the
     multi-GB batched cache every step), and attention is one per-slot-
@@ -553,17 +566,18 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         k = jnp.pad(k, ((0, 0), (0, 0), (0, hd_pad)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, hd_pad)))
 
-    kd = k.astype(k_c.dtype)
-    vd = v.astype(v_c.dtype)
+    kv_m = cfg.n_kv_heads * cfg.cache_head_dim
+    kd = k.reshape(b, kv_m).astype(k_c.dtype)
+    vd = v.reshape(b, kv_m).astype(v_c.dtype)
 
     def _upd(i, kv):
         kc, vc = kv
         kc = jax.lax.dynamic_update_slice(
             kc, jax.lax.dynamic_slice_in_dim(kd, i, 1, 0)[:, None, None],
-            (i, layer_idx, pos[i], 0, 0))
+            (i, layer_idx, pos[i], 0))
         vc = jax.lax.dynamic_update_slice(
             vc, jax.lax.dynamic_slice_in_dim(vd, i, 1, 0)[:, None, None],
-            (i, layer_idx, pos[i], 0, 0))
+            (i, layer_idx, pos[i], 0))
         return kc, vc
 
     k_c, v_c = jax.lax.fori_loop(0, b, _upd, (k_c, v_c))
@@ -572,7 +586,8 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         from lmrs_tpu.kernels.flash_attention import flash_decode_batched
 
         att = flash_decode_batched(
-            q, k_c, v_c, layer_idx, pos, attn_len=attn_len,
+            q, k_c, v_c, layer_idx, pos, n_kv=cfg.n_kv_heads,
+            attn_len=attn_len,
             scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
             window=cfg.sliding_window)
     else:
@@ -580,6 +595,8 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
                                                                 :attn_len]
         vl = jax.lax.dynamic_slice_in_dim(v_c, layer_idx, 1, 1)[:, 0,
                                                                 :attn_len]
+        kl = kl.reshape(b, attn_len, cfg.n_kv_heads, cfg.cache_head_dim)
+        vl = vl.reshape(b, attn_len, cfg.n_kv_heads, cfg.cache_head_dim)
         att = attention_batched(
             q, kl, vl, pos, scale=cfg.attn_scale,
             softcap=cfg.attn_logit_softcap, window=cfg.sliding_window,
@@ -634,7 +651,7 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
 
 
 @lru_cache(maxsize=None)
-def _batched_fast_body(cfg: ModelConfig, attn_len: int):
+def _batched_fast_body(cfg: ModelConfig, attn_len: int, b: int):
     """Stable scan body for the batched scan-fast decode (see
     _scan_fast_body for why the traced values travel in the carry)."""
 
@@ -654,7 +671,7 @@ def _batched_fast_body(cfg: ModelConfig, attn_len: int):
 
 
 @lru_cache(maxsize=None)
-def _batched_exact_body(cfg: ModelConfig, attn_len: int):
+def _batched_exact_body(cfg: ModelConfig, attn_len: int, b: int):
     def body(carry, lw):
         h, k_c, v_c, l, cos, sin, pos = carry
         h, k_c, v_c = _layer_batched(cfg, h, lw, k_c, v_c, l, cos, sin,
@@ -667,7 +684,7 @@ def _batched_exact_body(cfg: ModelConfig, attn_len: int):
 def forward_batched(
     params: TransformerParams,
     cfg: ModelConfig,
-    cache: KVCache,          # arrays shaped (B, L, S, KH, head_dim)
+    cache: KVCache,          # arrays shaped (B, L, S, KH*head_dim)
     x: jax.Array,            # (B, D) — one decode token per slot
     pos: jax.Array,          # (B,) int32 — per-slot absolute positions
     attn_len: int,           # static cache prefix length (shared bucket)
@@ -702,11 +719,11 @@ def forward_batched(
         norm_xs = (layers.att_norm, layers.post_att_norm,
                    layers.pre_ffn_norm, layers.post_ffn_norm)
         (x, k_c, v_c, _, _, _, _, _), _ = jax.lax.scan(
-            _batched_fast_body(cfg, attn_len),
+            _batched_fast_body(cfg, attn_len, x.shape[0]),
             (x, k_c, v_c, jnp.int32(0), layers, cos, sin, pos), norm_xs)
     else:
         (x, k_c, v_c, _, _, _, _), _ = jax.lax.scan(
-            _batched_exact_body(cfg, attn_len),
+            _batched_exact_body(cfg, attn_len, x.shape[0]),
             (x, k_c, v_c, jnp.int32(0), cos, sin, pos), layers)
 
     new_cache = KVCache(k=k_c, v=v_c)

@@ -101,10 +101,11 @@ def tp_param_shardings(cfg: ModelConfig, mesh: Mesh) -> Dict[str, NamedSharding]
 
 def cache_sharding(cfg: ModelConfig, mesh: Mesh,
                    batch: bool = False) -> NamedSharding:
-    """KV cache (L, S, KH, hd) sharded over kv heads; with a leading batch
-    axis it also shards over dp."""
+    """KV cache (L, S, KH*hd) sharded over the merged head-lane axis
+    (contiguous per-head blocks); with a leading batch axis it also shards
+    over dp."""
     tp = mesh.shape["tp"]
     kv_spec = "tp" if _div(cfg.n_kv_heads, tp) else None
     if batch:
-        return NamedSharding(mesh, P("dp", None, None, kv_spec, None))
-    return NamedSharding(mesh, P(None, None, kv_spec, None))
+        return NamedSharding(mesh, P("dp", None, None, kv_spec))
+    return NamedSharding(mesh, P(None, None, kv_spec))

@@ -38,6 +38,10 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     # log WHY a program missed the cache (warmup on the axon tunnel costs
     # minutes per big program; silent misses are undebuggable)
-    jax.config.update("jax_explain_cache_misses", True)
+    # cache-miss explanations are DEBUG diagnostics (they spam every
+    # first-trace with "TRACING CACHE MISS ..."); opt in when hunting a
+    # retrace bug, off for serving/bench output hygiene
+    if os.environ.get("LMRS_EXPLAIN_CACHE") == "1":
+        jax.config.update("jax_explain_cache_misses", True)
     _enabled = True
     return d

@@ -76,10 +76,12 @@ def _mesh_axes(mesh) -> tuple:
 
 
 def _mesh_cache_spec(mesh):
+    """3D cache (L, S, KH*hd): sequence on cp, merged head-lanes on tp
+    (contiguous per-head blocks, so the lane split IS the head split)."""
     from jax.sharding import PartitionSpec as P
 
     tp, cp = _mesh_axes(mesh)
-    return P(None, "cp" if cp > 1 else None, "tp" if tp > 1 else None, None)
+    return P(None, "cp" if cp > 1 else None, "tp" if tp > 1 else None)
 
 
 def _make_mesh_fns(cfg: ModelConfig, mesh, param_spec):

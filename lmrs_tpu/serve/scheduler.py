@@ -112,8 +112,8 @@ class BatchScheduler:
         # The slack region absorbs them — attention never reads past S
         # (attn buckets cap at S), so slack rows are always dead.
         self._slack = max(decode_chunk, 8)
-        shape = (self.B, cfg.n_layers, self.S + self._slack, cfg.n_kv_heads,
-                 cfg.cache_head_dim)
+        shape = (self.B, cfg.n_layers, self.S + self._slack,
+                 cfg.n_kv_heads * cfg.cache_head_dim)
         self.cache = KVCache(k=jnp.zeros(shape, cache_dtype),
                              v=jnp.zeros(shape, cache_dtype))
         self.slots = [_Slot() for _ in range(self.B)]

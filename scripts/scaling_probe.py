@@ -65,8 +65,8 @@ def main():
             continue
         mesh = Mesh(np.asarray(jax.devices()[:dp]), ("dp",))
         batch = dp * per_replica
-        shape = (batch, cfg.n_layers, cfg.seq_len, cfg.n_kv_heads,
-                 cfg.cache_head_dim)
+        shape = (batch, cfg.n_layers, cfg.seq_len,
+                 cfg.n_kv_heads * cfg.cache_head_dim)
         csh = NamedSharding(mesh, P("dp"))
         cache = KVCache(k=jax.device_put(jnp.zeros(shape, jnp.float32), csh),
                         v=jax.device_put(jnp.zeros(shape, jnp.float32), csh))

@@ -90,7 +90,7 @@ def test_tp_stacked_call_site_count():
 
     from lmrs_tpu.models.transformer import KVCache, embed_tokens
 
-    cache_p = P(None, None, "tp", None)
+    cache_p = P(None, None, "tp")   # 3D cache: merged head-lane axis
 
     def body(p, c, toks):
         xx = embed_tokens(p, cfg_l, toks)

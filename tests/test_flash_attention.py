@@ -17,11 +17,14 @@ from lmrs_tpu.ops.attention import attention
 
 
 def _mk(rng, L, S, KH, H, HD, T):
+    """k/v returned BOTH ways: 4D for the XLA reference, 3D (merged
+    (KH, hd) lanes — the engine's storage layout) for the kernel."""
     q = rng.standard_normal((T, H, HD), dtype=np.float32)
     k = rng.standard_normal((L, S, KH, HD), dtype=np.float32)
     v = rng.standard_normal((L, S, KH, HD), dtype=np.float32)
-    return (jnp.asarray(q), jnp.asarray(k).astype(jnp.bfloat16),
-            jnp.asarray(v).astype(jnp.bfloat16))
+    k4 = jnp.asarray(k).astype(jnp.bfloat16)
+    v4 = jnp.asarray(v).astype(jnp.bfloat16)
+    return jnp.asarray(q), k4, v4
 
 
 @pytest.mark.parametrize("t_q", [1, 4])
@@ -44,7 +47,8 @@ def test_flash_matches_xla(t_q, softcap, window):
                             jnp.int32(pos), scale=scale, softcap=softcap,
                             window=window, precision="fast")
             out = flash_decode_stacked(
-                q, k, v, jnp.int32(layer), jnp.int32(pos),
+                q, k.reshape(L, S, KH * HD), v.reshape(L, S, KH * HD),
+                jnp.int32(layer), jnp.int32(pos), n_kv=KH,
                 attn_len=attn_len, scale=scale, softcap=softcap,
                 window=window, s_blk=256, interpret=True)
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -61,14 +65,18 @@ def test_flash_window_skip_reads_correct_blocks():
     q, k, v = _mk(rng, L, S, KH, H, HD, 1)
     pos = 2000
     window = 256
-    out1 = flash_decode_stacked(q, k, v, jnp.int32(1), jnp.int32(pos),
+    out1 = flash_decode_stacked(q, k.reshape(L, S, KH * HD),
+                                v.reshape(L, S, KH * HD),
+                                jnp.int32(1), jnp.int32(pos), n_kv=KH,
                                 attn_len=2048, scale=0.1, window=window,
                                 s_blk=256, interpret=True)
     # poison rows far before the window (blocks the plan skips entirely)
     k_bad = k.at[:, :1024].set(jnp.nan)
     v_bad = v.at[:, :1024].set(jnp.nan)
-    out2 = flash_decode_stacked(q, k_bad, v_bad, jnp.int32(1),
-                                jnp.int32(pos), attn_len=2048, scale=0.1,
+    out2 = flash_decode_stacked(q, k_bad.reshape(L, S, KH * HD),
+                                v_bad.reshape(L, S, KH * HD), jnp.int32(1),
+                                jnp.int32(pos), n_kv=KH,
+                                attn_len=2048, scale=0.1,
                                 window=window, s_blk=256, interpret=True)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
     assert np.isfinite(np.asarray(out2)).all()
@@ -89,7 +97,9 @@ def test_flash_batched_matches_per_slot(softcap, window):
     scale = 1.0 / np.sqrt(HD)
     layer = 1
 
-    out = flash_decode_batched(q, k, v, jnp.int32(layer), pos,
+    out = flash_decode_batched(q, k.reshape(B, L, S, KH * HD),
+                               v.reshape(B, L, S, KH * HD),
+                               jnp.int32(layer), pos, n_kv=KH,
                                attn_len=attn_len, scale=scale,
                                softcap=softcap, window=window,
                                s_blk=256, interpret=True)

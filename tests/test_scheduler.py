@@ -330,7 +330,7 @@ def test_program_size_constant_in_batch(model):
     cfg, params = model
     sizes = {}
     for b in (4, 16):
-        shape = (b, cfg.n_layers, 64, cfg.n_kv_heads, cfg.cache_head_dim)
+        shape = (b, cfg.n_layers, 64, cfg.n_kv_heads * cfg.cache_head_dim)
         cache = KVCache(k=jnp.zeros(shape, jnp.float32),
                         v=jnp.zeros(shape, jnp.float32))
         x = jnp.zeros((b, cfg.dim), jnp.float32)
