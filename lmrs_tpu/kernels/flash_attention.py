@@ -65,8 +65,16 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, o_ref,
                   window: Optional[int]):
     """One sequence block of online-softmax GQA attention, all kv heads.
 
-    sp_ref (SMEM int32): [layer, start_blk, pos].  Scratch carries the
-    per-head running (m, l, acc) across the sequential grid steps.
+    sp_ref (SMEM int32): [layer, start_blk, pos, last_live].  Scratch
+    carries the per-head running (m, l, acc) across the sequential grid
+    steps.
+
+    Grid steps past `last_live` (the last block any query row can attend
+    to — the bucket is up to 2x the true context) are DEAD: their
+    BlockSpec index is clamped to last_live, so Mosaic's revisiting
+    optimization elides the DMA (same block as the previous step), and
+    this guard skips the compute.  The final-step output write runs
+    unconditionally off the accumulated scratch.
     """
     j = pl.program_id(0)
 
@@ -76,40 +84,42 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, o_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    pos = sp_ref[2]
-    row0 = (sp_ref[1] + j) * s_blk
-    # global cache row of each score column / query row of each score row
-    t_idx = row0 + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 1)
-    q_pos = pos + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 0) % t_q
+    @pl.when(sp_ref[1] + j <= sp_ref[3])
+    def _live():
+        pos = sp_ref[2]
+        row0 = (sp_ref[1] + j) * s_blk
+        # global cache row of each score column / query row of each row
+        t_idx = row0 + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 1)
+        q_pos = pos + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 0) % t_q
 
-    valid = t_idx <= q_pos                                  # causal
-    win_add = jnp.zeros((gt, s_blk), jnp.float32)
-    if window is not None:
-        win_add = jnp.where(q_pos - t_idx <= window, 0.0, _WINDOW_NEG)
+        valid = t_idx <= q_pos                              # causal
+        win_add = jnp.zeros((gt, s_blk), jnp.float32)
+        if window is not None:
+            win_add = jnp.where(q_pos - t_idx <= window, 0.0, _WINDOW_NEG)
 
-    for h in range(kh):
-        q_h = q_ref[h]                                      # (GT, hd) bf16
-        k_h = k_ref[0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
-        s = jax.lax.dot_general(
-            q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale     # (GT, s_blk)
-        if softcap is not None:
-            s = jnp.tanh(s / softcap) * softcap
-        s = s + win_add
-        s = jnp.where(valid, s, _MASK_NEG)
+        for h in range(kh):
+            q_h = q_ref[h]                                  # (GT, hd) bf16
+            k_h = k_ref[0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (GT, s_blk)
+            if softcap is not None:
+                s = jnp.tanh(s / softcap) * softcap
+            s = s + win_add
+            s = jnp.where(valid, s, _MASK_NEG)
 
-        m_old = m_scr[h]                                    # (GT,)
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=1))
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(s - m_new[:, None])                     # (GT, s_blk)
-        l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
-        v_h = v_ref[0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_h,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (GT, hd)
-        acc_scr[h] = acc_scr[h] * alpha[:, None] + pv
-        m_scr[h] = m_new
+            m_old = m_scr[h]                                # (GT,)
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=1))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.exp(s - m_new[:, None])                 # (GT, s_blk)
+            l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
+            v_h = v_ref[0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v_h,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (GT, hd)
+            acc_scr[h] = acc_scr[h] * alpha[:, None] + pv
+            m_scr[h] = m_new
 
     @pl.when(j == n_blk - 1)
     def _():
@@ -118,7 +128,7 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def flash_decode_stacked(
-    q: jax.Array,            # (T, H, hd) f32, RoPE applied, T <= 8
+    q: jax.Array,            # (T, H, hd) f32, RoPE applied
     k_cache: jax.Array,      # (L, S, KH*hd) — the FULL stacked 3D cache
     v_cache: jax.Array,
     layer_idx,               # traced int32
@@ -132,12 +142,21 @@ def flash_decode_stacked(
     s_blk: int = 512,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Blockwise GQA decode attention; returns (T, H, hd) f32.
+    """Blockwise GQA attention over the stacked cache; returns (T, H, hd)
+    f32.  Serves decode steps (T <= 8) AND prefill chunks (T up to a few
+    hundred — scores stay one (G*T, s_blk) VMEM tile per kv head).
 
     Equivalent to ops.attention.attention(q, k[l,:attn_len], v[l,:attn_len],
     pos, precision="fast") but streamed block-at-a-time with online softmax
-    and window-aware block skipping — no (T,KH,G,S) score materialization
-    and no O(context) reads for windowed layers.
+    and TWO forms of block skipping:
+    * window skip — a sliding-window layer starts at the first block the
+      window can reach (scalar-prefetched), so Gemma's 4096 window costs
+      O(window) at any position;
+    * live clamp — blocks past the last row any query attends to
+      (pos + T - 1; the pow-2 bucket is up to 2x that) collapse onto the
+      last live block, whose repeat DMA Mosaic elides and whose compute
+      the kernel skips.  Prefill chunks therefore read O(pos+T), not
+      O(bucket), per layer.
 
     The cache arrives with the (KH, hd) axes MERGED — the engine's native
     3D storage layout, so sequence blocks are contiguous (s_blk, KH*hd)
@@ -169,12 +188,18 @@ def flash_decode_stacked(
         start = jnp.minimum(first_row // s_blk, n_total - n_blk)
     else:
         start = jnp.int32(0)
+    last_live = jnp.minimum(
+        (pos + t_q - 1) // s_blk, n_total - 1).astype(jnp.int32)
     sp = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                     start.astype(jnp.int32),
-                    jnp.asarray(pos, jnp.int32)])
+                    jnp.asarray(pos, jnp.int32),
+                    last_live])
 
     k3 = k_cache
     v3 = v_cache
+
+    def _kv_idx(j, sp):
+        return (sp[0], jnp.minimum(sp[1] + j, sp[3]), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -182,11 +207,9 @@ def flash_decode_stacked(
         in_specs=[
             pl.BlockSpec((kh, gt, hd), lambda j, sp: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_blk, kh * hd),
-                         lambda j, sp: (sp[0], sp[1] + j, 0),
+            pl.BlockSpec((1, s_blk, kh * hd), _kv_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_blk, kh * hd),
-                         lambda j, sp: (sp[0], sp[1] + j, 0),
+            pl.BlockSpec((1, s_blk, kh * hd), _kv_idx,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((kh, gt, hd), lambda j, sp: (0, 0, 0),
@@ -219,8 +242,12 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, o_ref,
                           t_q: int, hd: int, scale: float,
                           softcap: Optional[float],
                           window: Optional[int]):
-    """Batched variant: grid (B, n_blk), per-slot pos/start scalar-prefetched
-    (sp layout: [layer, start_0..start_{B-1}, pos_0..pos_{B-1}])."""
+    """Batched variant: grid (B, n_blk), per-slot pos/start/last_live
+    scalar-prefetched (sp layout: [layer, start_0..start_{B-1},
+    pos_0..pos_{B-1}, last_0..last_{B-1}]).  Dead blocks past a slot's
+    last live block are DMA-elided (clamped index) and compute-skipped —
+    a freshly admitted short conversation doesn't pay the deepest slot's
+    bucket."""
     b = pl.program_id(0)
     j = pl.program_id(1)
     n_b = pl.num_programs(0)
@@ -231,37 +258,39 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, o_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    pos = sp_ref[1 + n_b + b]
-    row0 = (sp_ref[1 + b] + j) * s_blk
-    t_idx = row0 + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 1)
-    q_pos = pos + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 0) % t_q
-    valid = t_idx <= q_pos
-    win_add = jnp.zeros((gt, s_blk), jnp.float32)
-    if window is not None:
-        win_add = jnp.where(q_pos - t_idx <= window, 0.0, _WINDOW_NEG)
+    @pl.when(sp_ref[1 + b] + j <= sp_ref[1 + 2 * n_b + b])
+    def _live():
+        pos = sp_ref[1 + n_b + b]
+        row0 = (sp_ref[1 + b] + j) * s_blk
+        t_idx = row0 + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 1)
+        q_pos = pos + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 0) % t_q
+        valid = t_idx <= q_pos
+        win_add = jnp.zeros((gt, s_blk), jnp.float32)
+        if window is not None:
+            win_add = jnp.where(q_pos - t_idx <= window, 0.0, _WINDOW_NEG)
 
-    for h in range(kh):
-        q_h = q_ref[0, h]
-        k_h = k_ref[0, 0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
-        s = jax.lax.dot_general(
-            q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if softcap is not None:
-            s = jnp.tanh(s / softcap) * softcap
-        s = s + win_add
-        s = jnp.where(valid, s, _MASK_NEG)
-        m_old = m_scr[h]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=1))
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(s - m_new[:, None])
-        l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
-        v_h = v_ref[0, 0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_h,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc_scr[h] = acc_scr[h] * alpha[:, None] + pv
-        m_scr[h] = m_new
+        for h in range(kh):
+            q_h = q_ref[0, h]
+            k_h = k_ref[0, 0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if softcap is not None:
+                s = jnp.tanh(s / softcap) * softcap
+            s = s + win_add
+            s = jnp.where(valid, s, _MASK_NEG)
+            m_old = m_scr[h]
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=1))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.exp(s - m_new[:, None])
+            l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
+            v_h = v_ref[0, 0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v_h,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_scr[h] = acc_scr[h] * alpha[:, None] + pv
+            m_scr[h] = m_new
 
     @pl.when(j == n_blk - 1)
     def _():
@@ -306,13 +335,18 @@ def flash_decode_batched(
         start = jnp.minimum(first_row // s_blk, n_total - n_blk)
     else:
         start = jnp.zeros((B,), jnp.int32)
+    last_live = jnp.minimum(pos // s_blk, n_total - 1).astype(jnp.int32)
     sp = jnp.concatenate([
         jnp.asarray(layer_idx, jnp.int32)[None],
         start.astype(jnp.int32),
-        jnp.asarray(pos, jnp.int32)])
+        jnp.asarray(pos, jnp.int32),
+        last_live])
 
     k4 = k_cache
     v4 = v_cache
+
+    def _kv_idx(b, j, sp):
+        return (b, sp[0], jnp.minimum(sp[1 + b] + j, sp[1 + 2 * B + b]), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -320,11 +354,9 @@ def flash_decode_batched(
         in_specs=[
             pl.BlockSpec((1, kh, gt, hd), lambda b, j, sp: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s_blk, kh * hd),
-                         lambda b, j, sp: (b, sp[0], sp[1 + b] + j, 0),
+            pl.BlockSpec((1, 1, s_blk, kh * hd), _kv_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s_blk, kh * hd),
-                         lambda b, j, sp: (b, sp[0], sp[1 + b] + j, 0),
+            pl.BlockSpec((1, 1, s_blk, kh * hd), _kv_idx,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, kh, gt, hd),

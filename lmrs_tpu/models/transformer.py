@@ -143,12 +143,15 @@ def _localize(qt: Optional[QTensor]) -> Optional[QTensor]:
 
 
 def _flash_eligible(cfg: ModelConfig, t_q: int, attn_len: int) -> bool:
-    """Use the blockwise Pallas decode-attention kernel?  Decode-shaped fast
-    path only; below LMRS_FLASH_MIN_BUCKET the XLA einsum wins (the kernel
-    adds one in-program call per layer, ~30us each on v5e, while the einsum
-    over a short bucket is already cheap — the kernel's win is O(window)
-    streaming at LONG context, kernels/flash_attention.py)."""
-    if cfg.matmul_impl != "fast" or t_q > 8:
+    """Use the blockwise Pallas attention kernel?  Fast path only; below
+    LMRS_FLASH_MIN_BUCKET the XLA einsum wins (the kernel adds one
+    in-program call per layer, ~30us each on v5e, while the einsum over a
+    short bucket is already cheap — the kernel's win is O(window) +
+    O(live) streaming at LONG context, kernels/flash_attention.py).
+    Serves decode steps AND prefill chunks (t_q up to 256: scores stay one
+    (G*T, s_blk) VMEM tile per kv head); at long context a prefill chunk
+    stops reading the whole pow-2 bucket — O(pos+T) instead."""
+    if cfg.matmul_impl != "fast" or t_q > 256:
         return False
     if cfg.cache_head_dim % 128 != 0:
         return False

@@ -82,6 +82,91 @@ def test_flash_window_skip_reads_correct_blocks():
     assert np.isfinite(np.asarray(out2)).all()
 
 
+@pytest.mark.parametrize("t_q", [64, 256])
+@pytest.mark.parametrize("softcap,window", [
+    (None, None),
+    (50.0, 256),
+])
+def test_flash_prefill_chunk_matches_xla(t_q, softcap, window):
+    """The same kernel serves PREFILL chunks (t_q up to 256): causal
+    masking inside the chunk, chunk start off a block boundary, window
+    skip relative to the chunk head."""
+    L, S, KH, G, HD = 2, 2048, 2, 2, 128
+    H = KH * G
+    attn_len = 2048
+    rng = np.random.default_rng(3)
+    q, k, v = _mk(rng, L, S, KH, H, HD, t_q)
+    scale = 1.0 / np.sqrt(HD)
+
+    for pos in [0, 300, 2048 - t_q]:
+        ref = attention(q, k[1, :attn_len], v[1, :attn_len],
+                        jnp.int32(pos), scale=scale, softcap=softcap,
+                        window=window, precision="fast")
+        out = flash_decode_stacked(
+            q, k.reshape(L, S, KH * HD), v.reshape(L, S, KH * HD),
+            jnp.int32(1), jnp.int32(pos), n_kv=KH,
+            attn_len=attn_len, scale=scale, softcap=softcap,
+            window=window, s_blk=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=2e-2)
+
+
+@pytest.mark.parametrize("t_q", [1, 64])
+def test_flash_live_clamp_skips_dead_bucket_tail(t_q):
+    """attn_len is a pow-2 bucket up to 2x the true context: blocks past
+    the last row any query attends to must never be READ (clamped index +
+    compute skip) — poisoning them with NaN cannot change the output."""
+    L, S, KH, G, HD = 2, 2048, 2, 2, 128
+    H = KH * G
+    rng = np.random.default_rng(4)
+    q, k, v = _mk(rng, L, S, KH, H, HD, t_q)
+    pos = 700   # last live row 700 + t_q - 1 < 1024; blocks 4.. are dead
+    out1 = flash_decode_stacked(q, k.reshape(L, S, KH * HD),
+                                v.reshape(L, S, KH * HD),
+                                jnp.int32(0), jnp.int32(pos), n_kv=KH,
+                                attn_len=2048, scale=0.1,
+                                s_blk=256, interpret=True)
+    dead0 = ((pos + t_q - 1) // 256 + 1) * 256
+    k_bad = k.at[:, dead0:].set(jnp.nan)
+    v_bad = v.at[:, dead0:].set(jnp.nan)
+    out2 = flash_decode_stacked(q, k_bad.reshape(L, S, KH * HD),
+                                v_bad.reshape(L, S, KH * HD),
+                                jnp.int32(0), jnp.int32(pos), n_kv=KH,
+                                attn_len=2048, scale=0.1,
+                                s_blk=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_flash_batched_live_clamp():
+    """Per-slot live clamp: a short conversation sharing a batch with a
+    deep one must not read past its own position's block."""
+    B, L, S, KH, G, HD = 2, 2, 2048, 2, 2, 128
+    H = KH * G
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((B, H, HD), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((B, L, S, KH, HD),
+                                        dtype=np.float32)).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, L, S, KH, HD),
+                                        dtype=np.float32)).astype(jnp.bfloat16)
+    pos = jnp.asarray([100, 2000], jnp.int32)
+    out1 = flash_decode_batched(q, k.reshape(B, L, S, KH * HD),
+                                v.reshape(B, L, S, KH * HD),
+                                jnp.int32(0), pos, n_kv=KH,
+                                attn_len=2048, scale=0.1,
+                                s_blk=256, interpret=True)
+    # poison slot 0 beyond its live block (rows 256..); slot 1 stays clean
+    k_bad = k.at[0, :, 256:].set(jnp.nan)
+    v_bad = v.at[0, :, 256:].set(jnp.nan)
+    out2 = flash_decode_batched(q, k_bad.reshape(B, L, S, KH * HD),
+                                v_bad.reshape(B, L, S, KH * HD),
+                                jnp.int32(0), pos, n_kv=KH,
+                                attn_len=2048, scale=0.1,
+                                s_blk=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+    assert np.isfinite(np.asarray(out2)).all()
+
+
 @pytest.mark.parametrize("softcap,window", [(None, None), (50.0, 300)])
 def test_flash_batched_matches_per_slot(softcap, window):
     B, L, S, KH, G, HD = 3, 2, 1024, 2, 2, 128
