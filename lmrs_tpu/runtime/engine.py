@@ -343,7 +343,17 @@ class Engine:
         self.reset()
 
     def _attn_bucket(self, needed: int) -> int:
-        return _next_pow2(needed, self.min_attn_bucket, self.cfg.seq_len)
+        b = _next_pow2(needed, self.min_attn_bucket, self.cfg.seq_len)
+        # Flash-eligible rungs collapse onto ONE max-context program: the
+        # kernel's live-block clamp already makes attention reads O(pos),
+        # so extra pow-2 rungs past the flash threshold only buy compile
+        # time (minutes per rung through the remote-compile tunnel) and
+        # mid-conversation bucket-crossing stalls.
+        from lmrs_tpu.models.transformer import _flash_eligible
+
+        if _flash_eligible(self.cfg, 1, b):
+            return self.cfg.seq_len
+        return b
 
     # ------------------------------------------------------------------
     def prefill(self, tokens: Sequence[int],

@@ -232,7 +232,15 @@ class BatchScheduler:
         b = self.min_attn_bucket
         while b < needed and b < self.S:
             b *= 2
-        return min(b, self.S)
+        b = min(b, self.S)
+        # flash-eligible rungs collapse onto one max-context program (the
+        # kernel's per-slot live clamp keeps each slot's reads O(its pos);
+        # see Engine._attn_bucket)
+        from lmrs_tpu.models.transformer import _flash_eligible
+
+        if _flash_eligible(self.cfg, 1, b):
+            return self.S
+        return b
 
     def _admit(self):
         with self._lock:

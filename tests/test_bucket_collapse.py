@@ -1,0 +1,69 @@
+"""Flash bucket collapse: one max-context program, token-exact decode.
+
+When the config is flash-eligible, Engine._attn_bucket / BatchScheduler.
+_bucket collapse every rung past LMRS_FLASH_MIN_BUCKET onto seq_len: the
+kernel's live-block clamp keeps attention reads O(pos), so the extra pow-2
+rungs only bought compile time (minutes each through the remote-compile
+tunnel) and mid-conversation bucket-crossing stalls.  These tests prove the
+collapsed single-program path is token-exact vs the pure-XLA bucket ladder
+across former bucket boundaries.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmrs_tpu.config import ModelType
+from lmrs_tpu.io.params import params_from_weights
+from lmrs_tpu.io.synthetic import random_weights, tiny_config
+from lmrs_tpu.quant import QuantType
+from lmrs_tpu.runtime.engine import Engine, GenerationConfig
+
+
+def _mk_model():
+    # head_dim 128 (lane-aligned) + fast impl => flash-eligible
+    cfg = tiny_config(ModelType.GEMMA, QuantType.Q8_0, dim=128,
+                      hidden_dim=256, n_layers=2, n_heads=2, n_kv_heads=2,
+                      head_dim=128, vocab_size=256, group_size=32,
+                      seq_len=1024, matmul_impl="fast")
+    params = params_from_weights(cfg, random_weights(cfg, seed=11),
+                                 stack_layers=True, fuse_qkv=True)
+    return cfg, params
+
+
+def _fresh_compile_caches():
+    """Both engines share _compiled_fns(cfg) — drop it so the second run
+    can't reuse the first's jit specializations for the same attn_len."""
+    from lmrs_tpu.models.transformer import (_scan_exact_body,
+                                             _scan_fast_body)
+    from lmrs_tpu.runtime.engine import _compiled_fns
+
+    _compiled_fns.cache_clear()
+    _scan_fast_body.cache_clear()
+    _scan_exact_body.cache_clear()
+
+
+def test_bucket_collapse_token_parity(monkeypatch):
+    cfg, params = _mk_model()
+    prompt = list(np.random.default_rng(0).integers(3, 250, size=40))
+    gen = GenerationConfig(temperature=0.0, max_new_tokens=48)
+
+    # pure-XLA bucket ladder (threshold unreachable)
+    monkeypatch.setenv("LMRS_FLASH_MIN_BUCKET", str(1 << 30))
+    _fresh_compile_caches()
+    eng = Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=64,
+                 prefill_chunk=16, decode_chunk=4)
+    assert eng._attn_bucket(70) == 128          # ladder intact
+    ref = eng.generate(prompt, gen)
+
+    # collapsed flash path: every rung >= 128 becomes one seq_len program
+    monkeypatch.setenv("LMRS_FLASH_MIN_BUCKET", "128")
+    _fresh_compile_caches()
+    eng2 = Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=64,
+                  prefill_chunk=16, decode_chunk=4)
+    assert eng2._attn_bucket(70) == cfg.seq_len
+    assert eng2._attn_bucket(500) == cfg.seq_len
+    out = eng2.generate(prompt, gen)
+    _fresh_compile_caches()
+
+    assert out == ref
