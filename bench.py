@@ -124,16 +124,20 @@ def main():
                              n_tokens, n_prompt)
 
     decode_chunk = int(os.environ.get("LMRS_BENCH_CHUNK", "32"))
+    # LMRS_BENCH_KV=int8 runs the quantized KV cache (half the attention
+    # HBM traffic of bf16, double the max context per chip)
+    from lmrs_tpu.runtime.engine import CACHE_DTYPES
+    cache_dtype = CACHE_DTYPES[os.environ.get("LMRS_BENCH_KV", "bfloat16")]
     if tp > 1 or cp > 1:
         # multi-chip serving end-to-end: JAX_NUM_CPU_DEVICES=8
         # LMRS_BENCH_TP=4 python bench.py runs this on a virtual CPU mesh
         from lmrs_tpu.parallel.tp import make_mesh_engine
 
         log(f"mesh engine: tp={tp} cp={cp} over {jax.devices()[:tp * cp]}")
-        eng = make_mesh_engine(f, tp=tp, cp=cp, cache_dtype=jnp.bfloat16,
+        eng = make_mesh_engine(f, tp=tp, cp=cp, cache_dtype=cache_dtype,
                                decode_chunk=decode_chunk)
     else:
-        eng = Engine(f.cfg, params, cache_dtype=jnp.bfloat16,
+        eng = Engine(f.cfg, params, cache_dtype=cache_dtype,
                      decode_chunk=decode_chunk)
     gen = GenerationConfig(temperature=0.0, max_new_tokens=n_tokens)
     prompt = list(np.random.default_rng(0).integers(
@@ -273,9 +277,11 @@ def bench_batched(cfg, params, config_name, quant_name, batch, n_tokens,
     from lmrs_tpu.serve.scheduler import BatchScheduler
 
     max_ctx = int(os.environ.get("LMRS_BENCH_MAX_CTX", "2048"))
+    from lmrs_tpu.runtime.engine import CACHE_DTYPES
+    cache_dtype = CACHE_DTYPES[os.environ.get("LMRS_BENCH_KV", "bfloat16")]
     sched = BatchScheduler(cfg, params, max_batch=batch,
                            max_ctx=min(max_ctx, cfg.seq_len),
-                           cache_dtype=jnp.bfloat16, decode_chunk=16,
+                           cache_dtype=cache_dtype, decode_chunk=16,
                            temperature=0.0)
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(3, cfg.vocab_size - 1, size=n_prompt))

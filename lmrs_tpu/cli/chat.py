@@ -52,8 +52,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--show-metrics", action="store_true")
     p.add_argument("--image", default=None)
     p.add_argument("--num-crops", dest="num_crops", type=int, default=1)
-    p.add_argument("--cache-dtype", choices=["bfloat16", "float32"],
-                   default="bfloat16")
+    p.add_argument("--cache-dtype", choices=["bfloat16", "float32", "int8"],
+                   default="bfloat16",
+                   help="KV cache storage; int8 (per-position-per-head "
+                        "scales) halves attention HBM traffic and doubles "
+                        "the max context per chip")
     p.add_argument("--max-new-tokens", type=int, default=4096)
     p.add_argument("--impl", choices=["fast", "exact"], default="fast",
                    help="matmul path: 'fast' = fused Pallas dequant kernels"
@@ -107,8 +110,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     if cfg.quant.value:
         print(f"Using {cfg.quant.name} quantization.")
     print("Loading weights...")
-    cache_dtype = (jnp.bfloat16 if args.cache_dtype == "bfloat16"
-                   else jnp.float32)
+    cache_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                   "int8": jnp.int8}[args.cache_dtype]
     if args.tp > 1 or args.cp > 1:
         # multi-chip serving: the same Engine API over a (tp[, cp]) mesh
         from lmrs_tpu.parallel.tp import make_mesh_engine

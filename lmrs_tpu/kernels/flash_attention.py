@@ -58,11 +58,10 @@ def _plan_blocks(attn_len: int, t_q: int, window: Optional[int],
     return s_blk, n_total, n_blk
 
 
-def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *,
+def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
                   n_blk: int, s_blk: int, kh: int, gt: int, t_q: int,
                   hd: int, scale: float, softcap: Optional[float],
-                  window: Optional[int]):
+                  window: Optional[int], quantized: bool = False):
     """One sequence block of online-softmax GQA attention, all kv heads.
 
     sp_ref (SMEM int32): [layer, start_blk, pos, last_live].  Scratch
@@ -75,7 +74,16 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, o_ref,
     optimization elides the DMA (same block as the previous step), and
     this guard skips the compute.  The final-step output write runs
     unconditionally off the accumulated scratch.
+
+    With `quantized`, k/v blocks are int8 and two extra (s_blk, KH) f32
+    scale blocks stream alongside: key scales multiply the SCORE COLUMNS
+    and value scales fold into the softmax weights before the p@V dot —
+    dequantization never materializes a float K/V block.
     """
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -103,6 +111,8 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, o_ref,
             s = jax.lax.dot_general(
                 q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # (GT, s_blk)
+            if quantized:
+                s = s * ks_ref[0][:, h][None, :]
             if softcap is not None:
                 s = jnp.tanh(s / softcap) * softcap
             s = s + win_add
@@ -114,8 +124,9 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, o_ref,
             p = jnp.exp(s - m_new[:, None])                 # (GT, s_blk)
             l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
             v_h = v_ref[0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
+            pw = p * vs_ref[0][:, h][None, :] if quantized else p
             pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), v_h,
+                pw.astype(jnp.bfloat16), v_h,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)         # (GT, hd)
             acc_scr[h] = acc_scr[h] * alpha[:, None] + pv
@@ -141,10 +152,14 @@ def flash_decode_stacked(
     window: Optional[int] = None,
     s_blk: int = 512,
     interpret: Optional[bool] = None,
+    k_scale: Optional[jax.Array] = None,   # (L, S, KH) f32 — int8 cache
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Blockwise GQA attention over the stacked cache; returns (T, H, hd)
     f32.  Serves decode steps (T <= 8) AND prefill chunks (T up to a few
     hundred — scores stay one (G*T, s_blk) VMEM tile per kv head).
+    With k_scale/v_scale the cache is int8 (see models.transformer.KVCache):
+    scale blocks stream alongside and fold into scores / softmax weights.
 
     Equivalent to ops.attention.attention(q, k[l,:attn_len], v[l,:attn_len],
     pos, precision="fast") but streamed block-at-a-time with online softmax
@@ -201,17 +216,25 @@ def flash_decode_stacked(
     def _kv_idx(j, sp):
         return (sp[0], jnp.minimum(sp[1] + j, sp[3]), 0)
 
+    quantized = k_scale is not None
+    in_specs = [
+        pl.BlockSpec((kh, gt, hd), lambda j, sp: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_blk, kh * hd), _kv_idx,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_blk, kh * hd), _kv_idx,
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [sp, qk, k3, v3]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, s_blk, kh), _kv_idx,
+                                  memory_space=pltpu.VMEM)] * 2
+        operands += [k_scale, v_scale]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blk,),
-        in_specs=[
-            pl.BlockSpec((kh, gt, hd), lambda j, sp: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_blk, kh * hd), _kv_idx,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_blk, kh * hd), _kv_idx,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((kh, gt, hd), lambda j, sp: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -223,31 +246,35 @@ def flash_decode_stacked(
     out = pl.pallas_call(
         functools.partial(_flash_kernel, n_blk=n_blk, s_blk=s_blk, kh=kh,
                           gt=gt, t_q=t_q, hd=hd, scale=scale,
-                          softcap=softcap, window=window),
+                          softcap=softcap, window=window,
+                          quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((kh, gt, hd), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(sp, qk, k3, v3)
+    )(*operands)
 
     # (KH, G*T, hd) -> (T, H, hd)
     return out.reshape(kh, g, t_q, hd).transpose(2, 0, 1, 3) \
               .reshape(t_q, n_heads, hd)
 
 
-def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, o_ref,
-                          m_scr, l_scr, acc_scr, *,
+def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
                           n_blk: int, s_blk: int, kh: int, gt: int,
                           t_q: int, hd: int, scale: float,
                           softcap: Optional[float],
-                          window: Optional[int]):
+                          window: Optional[int], quantized: bool = False):
     """Batched variant: grid (B, n_blk), per-slot pos/start/last_live
     scalar-prefetched (sp layout: [layer, start_0..start_{B-1},
     pos_0..pos_{B-1}, last_0..last_{B-1}]).  Dead blocks past a slot's
     last live block are DMA-elided (clamped index) and compute-skipped —
     a freshly admitted short conversation doesn't pay the deepest slot's
-    bucket."""
+    bucket.  `quantized` as in _flash_kernel."""
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     j = pl.program_id(1)
     n_b = pl.num_programs(0)
@@ -275,6 +302,8 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, o_ref,
             s = jax.lax.dot_general(
                 q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
+            if quantized:
+                s = s * ks_ref[0, 0][:, h][None, :]
             if softcap is not None:
                 s = jnp.tanh(s / softcap) * softcap
             s = s + win_add
@@ -285,8 +314,9 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, o_ref,
             p = jnp.exp(s - m_new[:, None])
             l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
             v_h = v_ref[0, 0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
+            pw = p * vs_ref[0, 0][:, h][None, :] if quantized else p
             pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), v_h,
+                pw.astype(jnp.bfloat16), v_h,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc_scr[h] = acc_scr[h] * alpha[:, None] + pv
@@ -312,6 +342,8 @@ def flash_decode_batched(
     window: Optional[int] = None,
     s_blk: int = 512,
     interpret: Optional[bool] = None,
+    k_scale: Optional[jax.Array] = None,   # (B, L, S, KH) f32 — int8 cache
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Per-slot blockwise decode attention for the continuous-batching step;
     returns (B, H, hd) f32.  Program size is O(1) in B — the batch is a grid
@@ -348,17 +380,25 @@ def flash_decode_batched(
     def _kv_idx(b, j, sp):
         return (b, sp[0], jnp.minimum(sp[1 + b] + j, sp[1 + 2 * B + b]), 0)
 
+    quantized = k_scale is not None
+    in_specs = [
+        pl.BlockSpec((1, kh, gt, hd), lambda b, j, sp: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, s_blk, kh * hd), _kv_idx,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, s_blk, kh * hd), _kv_idx,
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [sp, qk, k4, v4]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, 1, s_blk, kh), _kv_idx,
+                                  memory_space=pltpu.VMEM)] * 2
+        operands += [k_scale, v_scale]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_blk),
-        in_specs=[
-            pl.BlockSpec((1, kh, gt, hd), lambda b, j, sp: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s_blk, kh * hd), _kv_idx,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s_blk, kh * hd), _kv_idx,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, kh, gt, hd),
                                lambda b, j, sp: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -371,12 +411,13 @@ def flash_decode_batched(
     out = pl.pallas_call(
         functools.partial(_flash_kernel_batched, n_blk=n_blk, s_blk=s_blk,
                           kh=kh, gt=gt, t_q=t_q, hd=hd, scale=scale,
-                          softcap=softcap, window=window),
+                          softcap=softcap, window=window,
+                          quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, kh, gt, hd), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(sp, qk, k4, v4)
+    )(*operands)
 
     return out.reshape(B, n_heads, hd)

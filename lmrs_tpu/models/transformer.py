@@ -95,7 +95,7 @@ class TransformerParams:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("k", "v"),
+    data_fields=("k", "v", "k_scale", "v_scale"),
     meta_fields=(),
 )
 @dataclasses.dataclass
@@ -107,23 +107,53 @@ class KVCache:
     head-sharding splits on contiguous lane ranges.  (A 4D layout tiles
     (KH, head_dim) instead; any KH*hd-merged view of it is a physical
     relayout, which inside the decode scan re-copied the multi-GB cache
-    per layer per token — measured 3 tok/s at 32k.)"""
+    per layer per token — measured 3 tok/s at 32k.)
+
+    With int8 k/v arrays the cache is QUANTIZED per (position, head):
+    k_scale/v_scale hold (L, S, KH) f32 absmax/127 factors (None for float
+    caches).  Halves attention HBM traffic vs bf16 and doubles the max
+    context per chip; the flash kernel folds the scales into score columns
+    / softmax weights, so dequantization costs one VPU broadcast multiply
+    per block (the reference keeps a full-f32 host cache,
+    src/transformer.rs:227-228).
+    """
 
     k: jax.Array  # (L, S, KH * head_dim)
     v: jax.Array  # (L, S, KH * head_dim)
+    k_scale: Optional[jax.Array] = None  # (L, S, KH) f32, int8 caches only
+    v_scale: Optional[jax.Array] = None
 
 
 def init_kv_cache(cfg: ModelConfig, dtype=jnp.float32, seq_len: Optional[int] = None,
-                  sharding=None) -> KVCache:
+                  sharding=None, scale_sharding=None) -> KVCache:
     """Preallocate the cache (reference keeps f32 host buffers,
     src/transformer.rs:227-228; on TPU bfloat16 halves HBM traffic and is the
-    default in the engine).  head_dim is lane-padded (cfg.cache_head_dim)."""
+    default in the engine; int8 halves it again — see KVCache).  head_dim is
+    lane-padded (cfg.cache_head_dim)."""
     s = seq_len or cfg.seq_len
     shape = (cfg.n_layers, s, cfg.n_kv_heads * cfg.cache_head_dim)
-    z = jnp.zeros(shape, dtype)
-    if sharding is not None:
-        z = jax.device_put(z, sharding)
-    return KVCache(k=z, v=jnp.copy(z) if sharding is None else jax.device_put(jnp.zeros(shape, dtype), sharding))
+
+    def alloc(shp, dt, sh):
+        z = jnp.zeros(shp, dt)
+        return jax.device_put(z, sh) if sh is not None else z
+
+    ks = vs = None
+    if dtype == jnp.int8:
+        sshape = (cfg.n_layers, s, cfg.n_kv_heads)
+        ks = alloc(sshape, jnp.float32, scale_sharding)
+        vs = alloc(sshape, jnp.float32, scale_sharding)
+    return KVCache(k=alloc(shape, dtype, sharding),
+                   v=alloc(shape, dtype, sharding),
+                   k_scale=ks, v_scale=vs)
+
+
+def quantize_kv_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(T, KH, hd) float -> ((T, KH*hd) int8 rows, (T, KH) f32 scales).
+    Symmetric absmax/127 per (token, head); all-zero rows get scale 0."""
+    amax = jnp.max(jnp.abs(x), axis=-1)                     # (T, KH)
+    inv = jnp.where(amax > 0, 127.0 / amax, 0.0)
+    q = jnp.round(x * inv[..., None]).astype(jnp.int8)
+    return q.reshape(x.shape[0], x.shape[1] * x.shape[2]), amax / 127.0
 
 
 def _localize(qt: Optional[QTensor]) -> Optional[QTensor]:
@@ -245,11 +275,11 @@ def _unpermute_w13_cols(cfg: ModelConfig, w13: QTensor,
 def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
            k_cache: jax.Array, v_cache: jax.Array, layer_idx: jax.Array,
            cos: jax.Array, sin: jax.Array, pos: jax.Array,
-           attn_len: int, stacked_idx=None
-           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One decoder layer over T tokens.  Returns (x, k_cache, v_cache).
+           attn_len: int, stacked_idx=None, k_s=None, v_s=None):
+    """One decoder layer over T tokens.  Returns (x, k_cache, v_cache,
+    k_s, v_s) — the scale arrays are None unless the cache is int8.
 
-    The FULL stacked (L, S, KH, hd) cache is threaded through (scan carry),
+    The FULL stacked (L, S, KH*hd) cache is threaded through (scan carry),
     updated in place at (layer_idx, pos) — XLA keeps carried
     dynamic-update-slices in-place in HBM, whereas stacking per-layer caches
     as scan outputs would copy the whole cache every step.
@@ -293,8 +323,20 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
     # in-place on cache slices, src/transformer.rs:443,486-491); rows are
     # written (KH*hd)-merged (see KVCache).
     kv_m = cfg.n_kv_heads * cfg.cache_head_dim
-    k_row = k.reshape(t_q, kv_m)
-    v_row = v.reshape(t_q, kv_m)
+    quant_kv = k_cache.dtype == jnp.int8
+    if quant_kv:
+        k_row, k_srow = quantize_kv_rows(k)
+        v_row, v_srow = quantize_kv_rows(v)
+    else:
+        k_row = k.reshape(t_q, kv_m)
+        v_row = v.reshape(t_q, kv_m)
+
+    def _deq(att_vals, att_scales):
+        # (attn, KH*hd) int8 + (attn, KH) f32 -> (attn, KH, hd) float
+        a3 = att_vals.reshape(att_vals.shape[0], cfg.n_kv_heads,
+                              cfg.cache_head_dim)
+        return a3.astype(jnp.float32) * att_scales[..., None]
+
     if cfg.cp_axis is not None:
         # sequence-sharded cache: the write lands on the owning shard only
         s_loc = k_cache.shape[1]
@@ -302,14 +344,27 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
                                   cfg.cp_axis)
         v_cache = cp_masked_write(v_cache, v_row, layer_idx, pos, s_loc,
                                   cfg.cp_axis)
+        if quant_kv:
+            k_s = cp_masked_write(k_s, k_srow, layer_idx, pos, s_loc,
+                                  cfg.cp_axis)
+            v_s = cp_masked_write(v_s, v_srow, layer_idx, pos, s_loc,
+                                  cfg.cp_axis)
         from lmrs_tpu.ops.attention import attention_cp
 
         k_att = jax.lax.dynamic_slice(
-            k_cache, (layer_idx, 0, 0), (1, s_loc, kv_m))[0] \
-            .reshape(s_loc, cfg.n_kv_heads, cfg.cache_head_dim)
+            k_cache, (layer_idx, 0, 0), (1, s_loc, kv_m))[0]
         v_att = jax.lax.dynamic_slice(
-            v_cache, (layer_idx, 0, 0), (1, s_loc, kv_m))[0] \
-            .reshape(s_loc, cfg.n_kv_heads, cfg.cache_head_dim)
+            v_cache, (layer_idx, 0, 0), (1, s_loc, kv_m))[0]
+        if quant_kv:
+            k_att = _deq(k_att, jax.lax.dynamic_slice(
+                k_s, (layer_idx, 0, 0),
+                (1, s_loc, cfg.n_kv_heads))[0])
+            v_att = _deq(v_att, jax.lax.dynamic_slice(
+                v_s, (layer_idx, 0, 0),
+                (1, s_loc, cfg.n_kv_heads))[0])
+        else:
+            k_att = k_att.reshape(s_loc, cfg.n_kv_heads, cfg.cache_head_dim)
+            v_att = v_att.reshape(s_loc, cfg.n_kv_heads, cfg.cache_head_dim)
         att = attention_cp(q, k_att, v_att, pos, cfg.cp_axis,
                            scale=cfg.attn_scale,
                            softcap=cfg.attn_logit_softcap,
@@ -319,6 +374,11 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
             k_cache, k_row[None].astype(k_cache.dtype), (layer_idx, pos, 0))
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, v_row[None].astype(v_cache.dtype), (layer_idx, pos, 0))
+        if quant_kv:
+            k_s = jax.lax.dynamic_update_slice(
+                k_s, k_srow[None], (layer_idx, pos, 0))
+            v_s = jax.lax.dynamic_update_slice(
+                v_s, v_srow[None], (layer_idx, pos, 0))
 
         if _flash_eligible(cfg, t_q, attn_len):
             from lmrs_tpu.kernels.flash_attention import flash_decode_stacked
@@ -327,14 +387,24 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
                 q, k_cache, v_cache, layer_idx, pos,
                 n_kv=cfg.n_kv_heads, attn_len=attn_len,
                 scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
-                window=cfg.sliding_window)
+                window=cfg.sliding_window, k_scale=k_s, v_scale=v_s)
         else:
             k_att = jax.lax.dynamic_slice(
-                k_cache, (layer_idx, 0, 0), (1, attn_len, kv_m))[0] \
-                .reshape(attn_len, cfg.n_kv_heads, cfg.cache_head_dim)
+                k_cache, (layer_idx, 0, 0), (1, attn_len, kv_m))[0]
             v_att = jax.lax.dynamic_slice(
-                v_cache, (layer_idx, 0, 0), (1, attn_len, kv_m))[0] \
-                .reshape(attn_len, cfg.n_kv_heads, cfg.cache_head_dim)
+                v_cache, (layer_idx, 0, 0), (1, attn_len, kv_m))[0]
+            if quant_kv:
+                k_att = _deq(k_att, jax.lax.dynamic_slice(
+                    k_s, (layer_idx, 0, 0),
+                    (1, attn_len, cfg.n_kv_heads))[0])
+                v_att = _deq(v_att, jax.lax.dynamic_slice(
+                    v_s, (layer_idx, 0, 0),
+                    (1, attn_len, cfg.n_kv_heads))[0])
+            else:
+                k_att = k_att.reshape(attn_len, cfg.n_kv_heads,
+                                      cfg.cache_head_dim)
+                v_att = v_att.reshape(attn_len, cfg.n_kv_heads,
+                                      cfg.cache_head_dim)
             att = attention(
                 q,
                 k_att,
@@ -400,7 +470,7 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         x = x + rmsnorm(ff, lw.post_ffn_norm, cfg.rms_norm_eps, True)
     else:
         x = x + ff
-    return x, k_cache, v_cache
+    return x, k_cache, v_cache, k_s, v_s
 
 
 @lru_cache(maxsize=None)
@@ -415,16 +485,17 @@ def _scan_fast_body(cfg: ModelConfig, attn_len: int, t_q: int):
     re-defined repeatedly` warnings, VERDICT r2 weak #2)."""
 
     def body(carry, xs):
-        h, k_c, v_c, l, layers, cos, sin, pos = carry
+        h, k_c, v_c, k_s, v_s, l, layers, cos, sin, pos = carry
         an, pan, pfn, pfn2 = xs
         lw = LayerWeights(
             att_norm=an, wq=None, wk=None, wv=None, wo=layers.wo,
             post_att_norm=pan, pre_ffn_norm=pfn, w1=None, w2=layers.w2,
             w3=None, post_ffn_norm=pfn2, wqkv=layers.wqkv,
             w13=layers.w13)
-        h, k_c, v_c = _layer(cfg, h, lw, k_c, v_c, l, cos, sin, pos,
-                             attn_len, stacked_idx=l)
-        return (h, k_c, v_c, l + 1, layers, cos, sin, pos), None
+        h, k_c, v_c, k_s, v_s = _layer(cfg, h, lw, k_c, v_c, l, cos, sin,
+                                       pos, attn_len, stacked_idx=l,
+                                       k_s=k_s, v_s=v_s)
+        return (h, k_c, v_c, k_s, v_s, l + 1, layers, cos, sin, pos), None
 
     return body
 
@@ -434,10 +505,10 @@ def _scan_exact_body(cfg: ModelConfig, attn_len: int, t_q: int):
     """Stable scan body for the stacked-exact layout (weights as scan xs)."""
 
     def body(carry, lw):
-        h, k_c, v_c, l, cos, sin, pos = carry
-        h, k_c, v_c = _layer(cfg, h, lw, k_c, v_c, l, cos, sin, pos,
-                             attn_len)
-        return (h, k_c, v_c, l + 1, cos, sin, pos), None
+        h, k_c, v_c, k_s, v_s, l, cos, sin, pos = carry
+        h, k_c, v_c, k_s, v_s = _layer(cfg, h, lw, k_c, v_c, l, cos, sin,
+                                       pos, attn_len, k_s=k_s, v_s=v_s)
+        return (h, k_c, v_c, k_s, v_s, l + 1, cos, sin, pos), None
 
     return body
 
@@ -470,10 +541,12 @@ def forward(
         # (scan xs slicing materializes a copy of every layer's weights
         # before each opaque kernel call — measurable on real chips)
         k_c, v_c = cache.k, cache.v
+        k_s, v_s = cache.k_scale, cache.v_scale
         for l, lw in enumerate(params.layers):
-            x, k_c, v_c = _layer(cfg, x, lw, k_c, v_c, l, cos, sin, pos,
-                                 attn_len)
-        k_new, v_new = k_c, v_c
+            x, k_c, v_c, k_s, v_s = _layer(cfg, x, lw, k_c, v_c, l, cos,
+                                           sin, pos, attn_len,
+                                           k_s=k_s, v_s=v_s)
+        k_new, v_new, ks_new, vs_new = k_c, v_c, k_s, v_s
     elif (cfg.matmul_impl == "fast" and params.layers.wqkv is not None
           and params.layers.wqkv.q.ndim == 3):
         # scan-fast layout: big weights stay OUTSIDE the scan (the stacked
@@ -483,16 +556,18 @@ def forward(
         layers = params.layers
         norm_xs = (layers.att_norm, layers.post_att_norm,
                    layers.pre_ffn_norm, layers.post_ffn_norm)
-        (x, k_new, v_new, _, _, _, _, _), _ = jax.lax.scan(
+        (x, k_new, v_new, ks_new, vs_new, _, _, _, _, _), _ = jax.lax.scan(
             _scan_fast_body(cfg, attn_len, t_q),
-            (x, cache.k, cache.v, jnp.int32(0), layers, cos, sin, pos),
+            (x, cache.k, cache.v, cache.k_scale, cache.v_scale,
+             jnp.int32(0), layers, cos, sin, pos),
             norm_xs)
     else:
-        (x, k_new, v_new, _, _, _, _), _ = jax.lax.scan(
+        (x, k_new, v_new, ks_new, vs_new, _, _, _, _), _ = jax.lax.scan(
             _scan_exact_body(cfg, attn_len, t_q),
-            (x, cache.k, cache.v, jnp.int32(0), cos, sin, pos),
+            (x, cache.k, cache.v, cache.k_scale, cache.v_scale,
+             jnp.int32(0), cos, sin, pos),
             params.layers)
-    new_cache = KVCache(k=k_new, v=v_new)
+    new_cache = KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)
 
     if logit_idx is None:
         return None, new_cache
@@ -530,7 +605,7 @@ def forward(
 def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
                    k_c: jax.Array, v_c: jax.Array, layer_idx,
                    cos: jax.Array, sin: jax.Array, pos: jax.Array,
-                   attn_len: int, stacked_idx=None):
+                   attn_len: int, stacked_idx=None, k_s=None, v_s=None):
     """One decoder layer over a BATCH of single-token slots.
 
     x (B, D); cache (B, L, S, KH*hd); pos (B,).  Program size is O(1) in
@@ -538,7 +613,8 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
     DUS with per-slot positions lowers to scatter, which copies the
     multi-GB batched cache every step), and attention is one per-slot-
     masked einsum (ops.attention.attention_batched) or the batched flash
-    kernel at long context.
+    kernel at long context.  k_s/v_s are the (B, L, S, KH) scale arrays of
+    an int8 cache (None otherwise).
     """
     b = x.shape[0]
     is_gemma = cfg.model_type == ModelType.GEMMA
@@ -570,20 +646,33 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         v = jnp.pad(v, ((0, 0), (0, 0), (0, hd_pad)))
 
     kv_m = cfg.n_kv_heads * cfg.cache_head_dim
-    kd = k.reshape(b, kv_m).astype(k_c.dtype)
-    vd = v.reshape(b, kv_m).astype(v_c.dtype)
+    quant_kv = k_c.dtype == jnp.int8
+    if quant_kv:
+        kd, k_srow = quantize_kv_rows(k)        # (B, kv_m) int8, (B, KH)
+        vd, v_srow = quantize_kv_rows(v)
+    else:
+        kd = k.reshape(b, kv_m).astype(k_c.dtype)
+        vd = v.reshape(b, kv_m).astype(v_c.dtype)
+        k_srow = v_srow = None
 
     def _upd(i, kv):
-        kc, vc = kv
+        kc, vc, ks, vs = kv
         kc = jax.lax.dynamic_update_slice(
             kc, jax.lax.dynamic_slice_in_dim(kd, i, 1, 0)[:, None, None],
             (i, layer_idx, pos[i], 0))
         vc = jax.lax.dynamic_update_slice(
             vc, jax.lax.dynamic_slice_in_dim(vd, i, 1, 0)[:, None, None],
             (i, layer_idx, pos[i], 0))
-        return kc, vc
+        if quant_kv:
+            ks = jax.lax.dynamic_update_slice(
+                ks, jax.lax.dynamic_slice_in_dim(k_srow, i, 1, 0)
+                [:, None, None], (i, layer_idx, pos[i], 0))
+            vs = jax.lax.dynamic_update_slice(
+                vs, jax.lax.dynamic_slice_in_dim(v_srow, i, 1, 0)
+                [:, None, None], (i, layer_idx, pos[i], 0))
+        return kc, vc, ks, vs
 
-    k_c, v_c = jax.lax.fori_loop(0, b, _upd, (k_c, v_c))
+    k_c, v_c, k_s, v_s = jax.lax.fori_loop(0, b, _upd, (k_c, v_c, k_s, v_s))
 
     if _flash_eligible(cfg, 1, attn_len):
         from lmrs_tpu.kernels.flash_attention import flash_decode_batched
@@ -592,7 +681,7 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
             q, k_c, v_c, layer_idx, pos, n_kv=cfg.n_kv_heads,
             attn_len=attn_len,
             scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
-            window=cfg.sliding_window)
+            window=cfg.sliding_window, k_scale=k_s, v_scale=v_s)
     else:
         kl = jax.lax.dynamic_slice_in_dim(k_c, layer_idx, 1, 1)[:, 0,
                                                                 :attn_len]
@@ -600,6 +689,13 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
                                                                 :attn_len]
         kl = kl.reshape(b, attn_len, cfg.n_kv_heads, cfg.cache_head_dim)
         vl = vl.reshape(b, attn_len, cfg.n_kv_heads, cfg.cache_head_dim)
+        if quant_kv:
+            ksl = jax.lax.dynamic_slice_in_dim(k_s, layer_idx, 1, 1)[
+                :, 0, :attn_len]
+            vsl = jax.lax.dynamic_slice_in_dim(v_s, layer_idx, 1, 1)[
+                :, 0, :attn_len]
+            kl = kl.astype(jnp.float32) * ksl[..., None]
+            vl = vl.astype(jnp.float32) * vsl[..., None]
         att = attention_batched(
             q, kl, vl, pos, scale=cfg.attn_scale,
             softcap=cfg.attn_logit_softcap, window=cfg.sliding_window,
@@ -650,7 +746,7 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         x = x + rmsnorm(ff, lw.post_ffn_norm, cfg.rms_norm_eps, True)
     else:
         x = x + ff
-    return x, k_c, v_c
+    return x, k_c, v_c, k_s, v_s
 
 
 @lru_cache(maxsize=None)
@@ -659,16 +755,17 @@ def _batched_fast_body(cfg: ModelConfig, attn_len: int, b: int):
     _scan_fast_body for why the traced values travel in the carry)."""
 
     def body(carry, xs):
-        h, k_c, v_c, l, layers, cos, sin, pos = carry
+        h, k_c, v_c, k_s, v_s, l, layers, cos, sin, pos = carry
         an, pan, pfn, pfn2 = xs
         lw = LayerWeights(
             att_norm=an, wq=None, wk=None, wv=None, wo=layers.wo,
             post_att_norm=pan, pre_ffn_norm=pfn, w1=None, w2=layers.w2,
             w3=None, post_ffn_norm=pfn2, wqkv=layers.wqkv,
             w13=layers.w13)
-        h, k_c, v_c = _layer_batched(cfg, h, lw, k_c, v_c, l, cos, sin,
-                                     pos, attn_len, stacked_idx=l)
-        return (h, k_c, v_c, l + 1, layers, cos, sin, pos), None
+        h, k_c, v_c, k_s, v_s = _layer_batched(
+            cfg, h, lw, k_c, v_c, l, cos, sin, pos, attn_len,
+            stacked_idx=l, k_s=k_s, v_s=v_s)
+        return (h, k_c, v_c, k_s, v_s, l + 1, layers, cos, sin, pos), None
 
     return body
 
@@ -676,10 +773,11 @@ def _batched_fast_body(cfg: ModelConfig, attn_len: int, b: int):
 @lru_cache(maxsize=None)
 def _batched_exact_body(cfg: ModelConfig, attn_len: int, b: int):
     def body(carry, lw):
-        h, k_c, v_c, l, cos, sin, pos = carry
-        h, k_c, v_c = _layer_batched(cfg, h, lw, k_c, v_c, l, cos, sin,
-                                     pos, attn_len)
-        return (h, k_c, v_c, l + 1, cos, sin, pos), None
+        h, k_c, v_c, k_s, v_s, l, cos, sin, pos = carry
+        h, k_c, v_c, k_s, v_s = _layer_batched(
+            cfg, h, lw, k_c, v_c, l, cos, sin, pos, attn_len,
+            k_s=k_s, v_s=v_s)
+        return (h, k_c, v_c, k_s, v_s, l + 1, cos, sin, pos), None
 
     return body
 
@@ -711,25 +809,28 @@ def forward_batched(
 
     layers = params.layers
     k_c, v_c = cache.k, cache.v
+    k_s, v_s = cache.k_scale, cache.v_scale
     if isinstance(layers, (list, tuple)):
         for l, lw in enumerate(layers):
-            x, k_c, v_c = _layer_batched(cfg, x, lw, k_c, v_c, l, cos, sin,
-                                         pos, attn_len)
+            x, k_c, v_c, k_s, v_s = _layer_batched(
+                cfg, x, lw, k_c, v_c, l, cos, sin, pos, attn_len,
+                k_s=k_s, v_s=v_s)
     elif (cfg.matmul_impl == "fast" and layers.wqkv is not None
           and layers.wqkv.q.ndim == 3):
         # scan-fast: stacked kernels select the layer via scalar prefetch
         # (see forward) — batched decode gets the same fast-compile path
         norm_xs = (layers.att_norm, layers.post_att_norm,
                    layers.pre_ffn_norm, layers.post_ffn_norm)
-        (x, k_c, v_c, _, _, _, _, _), _ = jax.lax.scan(
+        (x, k_c, v_c, k_s, v_s, _, _, _, _, _), _ = jax.lax.scan(
             _batched_fast_body(cfg, attn_len, x.shape[0]),
-            (x, k_c, v_c, jnp.int32(0), layers, cos, sin, pos), norm_xs)
+            (x, k_c, v_c, k_s, v_s, jnp.int32(0), layers, cos, sin, pos),
+            norm_xs)
     else:
-        (x, k_c, v_c, _, _, _, _), _ = jax.lax.scan(
+        (x, k_c, v_c, k_s, v_s, _, _, _, _), _ = jax.lax.scan(
             _batched_exact_body(cfg, attn_len, x.shape[0]),
-            (x, k_c, v_c, jnp.int32(0), cos, sin, pos), layers)
+            (x, k_c, v_c, k_s, v_s, jnp.int32(0), cos, sin, pos), layers)
 
-    new_cache = KVCache(k=k_c, v=v_c)
+    new_cache = KVCache(k=k_c, v=v_c, k_scale=k_s, v_scale=v_s)
     x = rmsnorm(x, params.final_norm, cfg.rms_norm_eps,
                 cfg.norm_unit_offset)
     cls = params.embed if cfg.tied_lm_head else params.lm_head

@@ -39,6 +39,11 @@ from lmrs_tpu.models.transformer import (
 from lmrs_tpu.ops.sampling import sample_argmax, sample_topp, sample_multinomial
 
 
+#: CLI/env name -> KV cache storage dtype (int8 = quantized cache, KVCache)
+CACHE_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                "int8": jnp.int8}
+
+
 @dataclasses.dataclass
 class GenerationConfig:
     """Sampling knobs (reference: src/bin/chat.rs:22-40 CLI defaults)."""
@@ -84,7 +89,8 @@ def _mesh_cache_spec(mesh):
     return P(None, "cp" if cp > 1 else None, "tp" if tp > 1 else None)
 
 
-def _make_mesh_fns(cfg: ModelConfig, mesh, param_spec):
+def _make_mesh_fns(cfg: ModelConfig, mesh, param_spec,
+                   quant_cache: bool = False):
     """Jitted (step, decode_chunk) programs whose bodies run under
     shard_map over `mesh` — the multi-chip serving path as a drop-in for
     the single-chip programs (the shard_map-transparent forward:
@@ -104,7 +110,8 @@ def _make_mesh_fns(cfg: ModelConfig, mesh, param_spec):
     cfg_l = local_config(cfg, tp, "tp" if tp > 1 else None,
                          "cp" if cp > 1 else None)
     cache_p = _mesh_cache_spec(mesh)
-    cache_spec = KV(cache_p, cache_p)
+    scale_p = cache_p if quant_cache else None
+    cache_spec = KV(cache_p, cache_p, scale_p, scale_p)
     # with cp, attention always reads the full local sequence block;
     # the step's attn_len is unused there but must stay a valid static
     s_attn = cfg.seq_len
@@ -177,14 +184,15 @@ def _make_mesh_fns(cfg: ModelConfig, mesh, param_spec):
 _MESH_FNS = {}
 
 
-def _mesh_fns_cached(cfg: ModelConfig, mesh, param_spec):
+def _mesh_fns_cached(cfg: ModelConfig, mesh, param_spec,
+                     quant_cache: bool = False):
     """Share the shard_map-wrapped programs across Engine instances (the
     backend builds one engine per connection; fresh jit wrappers would
     recompile the whole model per client)."""
     leaves, treedef = jax.tree_util.tree_flatten(param_spec)
-    key = (cfg, mesh, tuple(leaves), treedef)
+    key = (cfg, mesh, tuple(leaves), treedef, quant_cache)
     if key not in _MESH_FNS:
-        _MESH_FNS[key] = _make_mesh_fns(cfg, mesh, param_spec)
+        _MESH_FNS[key] = _make_mesh_fns(cfg, mesh, param_spec, quant_cache)
     return _MESH_FNS[key]
 
 
@@ -287,8 +295,8 @@ class Engine:
             if param_spec is None:
                 raise ValueError("mesh engine needs param_spec (from "
                                  "build_tp_params_stacked / replicate_params)")
-            self._step, self._decode_chunk = _mesh_fns_cached(cfg, mesh,
-                                                              param_spec)
+            self._step, self._decode_chunk = _mesh_fns_cached(
+                cfg, mesh, param_spec, cache_dtype == jnp.int8)
             self._embed = None
         else:
             self._cp = 1
@@ -297,7 +305,14 @@ class Engine:
             # connection — fresh jit closures there would recompile
             # everything per client)
             self._embed, self._step, self._decode_chunk = _compiled_fns(cfg)
-        self.cache = init_kv_cache(cfg, cache_dtype, sharding=cache_sharding)
+        scale_sharding = None
+        if (cache_dtype == jnp.int8 and mesh is not None):
+            from jax.sharding import NamedSharding
+
+            # (L, S, KH) scales shard like the values: seq on cp, heads on tp
+            scale_sharding = NamedSharding(mesh, _mesh_cache_spec(mesh))
+        self.cache = init_kv_cache(cfg, cache_dtype, sharding=cache_sharding,
+                                   scale_sharding=scale_sharding)
 
     # ------------------------------------------------------------------
     def reset(self):
@@ -543,10 +558,14 @@ class Engine:
     # die with the process, SURVEY.md §5); here a conversation can be
     # checkpointed and resumed across processes.
     def save_session(self, path: str) -> None:
+        extra = {}
+        if self.cache.k_scale is not None:
+            extra = dict(k_scale=np.asarray(self.cache.k_scale),
+                         v_scale=np.asarray(self.cache.v_scale))
         np.savez(path,
                  k=np.asarray(self.cache.k), v=np.asarray(self.cache.v),
                  pos=self.pos,
-                 sig=np.asarray(self._session_sig(), np.int64))
+                 sig=np.asarray(self._session_sig(), np.int64), **extra)
 
     def load_session(self, path: str) -> None:
         data = np.load(path if path.endswith(".npz") else path + ".npz")
@@ -554,12 +573,24 @@ class Engine:
             raise ValueError("session file does not match this model config")
         k = jnp.asarray(data["k"], self.cache_dtype)
         v = jnp.asarray(data["v"], self.cache_dtype)
+        ks = vs = None
+        if "k_scale" in data:
+            if self.cache_dtype != jnp.int8:
+                raise ValueError("session was saved from an int8 KV cache; "
+                                 "this engine uses a float cache")
+            ks = jnp.asarray(data["k_scale"], jnp.float32)
+            vs = jnp.asarray(data["v_scale"], jnp.float32)
+        elif self.cache_dtype == jnp.int8:
+            raise ValueError("session was saved from a float KV cache; "
+                             "this engine uses an int8 cache")
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
             sh = NamedSharding(self.mesh, _mesh_cache_spec(self.mesh))
             k, v = jax.device_put(k, sh), jax.device_put(v, sh)
-        self.cache = KVCache(k=k, v=v)
+            if ks is not None:
+                ks, vs = jax.device_put(ks, sh), jax.device_put(vs, sh)
+        self.cache = KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
         self.pos = int(data["pos"])
 
     def _session_sig(self):

@@ -57,6 +57,8 @@ class BackendServer:
                  tp: int = 1, cp: int = 1):
         import jax.numpy as jnp
 
+        from lmrs_tpu.runtime.engine import CACHE_DTYPES
+
         from lmrs_tpu.io.lmrs import read_lmrs
         from lmrs_tpu.io.params import params_from_lmrs
         from lmrs_tpu.tokenizer import Tokenizer
@@ -87,13 +89,11 @@ class BackendServer:
 
             self._mesh_engine_proto = make_mesh_engine(
                 self.file, tp=tp, cp=cp,
-                cache_dtype=jnp.bfloat16 if cache_dtype == "bfloat16"
-                else jnp.float32)
+                cache_dtype=CACHE_DTYPES[cache_dtype])
             self.params = self._mesh_engine_proto.params
         else:
             self.params = params_from_lmrs(self.file, fuse_qkv=fuse)
-        self.cache_dtype = (jnp.bfloat16 if cache_dtype == "bfloat16"
-                            else jnp.float32)
+        self.cache_dtype = CACHE_DTYPES[cache_dtype]
         self.temperature = temperature
         self.top_p = top_p
         self.seed = seed

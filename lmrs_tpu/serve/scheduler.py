@@ -114,8 +114,14 @@ class BatchScheduler:
         self._slack = max(decode_chunk, 8)
         shape = (self.B, cfg.n_layers, self.S + self._slack,
                  cfg.n_kv_heads * cfg.cache_head_dim)
+        ks = vs = None
+        if cache_dtype == jnp.int8:
+            sshape = shape[:-1] + (cfg.n_kv_heads,)
+            ks = jnp.zeros(sshape, jnp.float32)
+            vs = jnp.zeros(sshape, jnp.float32)
         self.cache = KVCache(k=jnp.zeros(shape, cache_dtype),
-                             v=jnp.zeros(shape, cache_dtype))
+                             v=jnp.zeros(shape, cache_dtype),
+                             k_scale=ks, v_scale=vs)
         self.slots = [_Slot() for _ in range(self.B)]
         self.waiting: List[Request] = []
         self._ids = itertools.count()
@@ -124,39 +130,48 @@ class BatchScheduler:
         self.tokens_emitted = 0
         self.decode_seconds = 0.0
 
+        def _slot_view(cache, slot):
+            sl = (lambda a: None if a is None else
+                  jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0)[0])
+            return KVCache(sl(cache.k), sl(cache.v),
+                           sl(cache.k_scale), sl(cache.v_scale))
+
+        def _slot_store(cache, new, slot):
+            st = (lambda a, n: a if n is None else
+                  jax.lax.dynamic_update_slice_in_dim(a, n[None], slot, 0))
+            return KVCache(st(cache.k, new.k), st(cache.v, new.v),
+                           st(cache.k_scale, new.k_scale),
+                           st(cache.v_scale, new.v_scale))
+
         @partial(jax.jit,
                  static_argnames=("attn_len", "want_logits"),
-                 donate_argnames=("k", "v"))
-        def _prefill_slot(params, k, v, x, slot, pos, logit_idx, attn_len,
+                 donate_argnames=("cache",))
+        def _prefill_slot(params, cache, x, slot, pos, logit_idx, attn_len,
                           want_logits):
-            kc = jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0)[0]
-            vc = jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0)[0]
-            logits, new = forward(params, cfg, KVCache(kc, vc), x, pos,
-                                  attn_len,
+            logits, new = forward(params, cfg, _slot_view(cache, slot), x,
+                                  pos, attn_len,
                                   logit_idx if want_logits else None)
-            k = jax.lax.dynamic_update_slice_in_dim(k, new.k[None], slot, 0)
-            v = jax.lax.dynamic_update_slice_in_dim(v, new.v[None], slot, 0)
-            return logits, k, v
+            return logits, _slot_store(cache, new, slot)
 
         self._prefill_slot = _prefill_slot
 
         @partial(jax.jit,
                  static_argnames=("n_steps", "attn_len"),
-                 donate_argnames=("k", "v"))
-        def _decode_chunk_b(params, k, v, tokens, pos, temps, top_ps, key,
+                 donate_argnames=("cache",))
+        def _decode_chunk_b(params, cache, tokens, pos, temps, top_ps, key,
                             n_steps, attn_len):
             def step(carry, _):
-                toks, p, k, v, key = carry
+                toks, p, cache, key = carry
                 x = embed_tokens(params, cfg, toks)
                 logits, cache = forward_batched(
-                    params, cfg, KVCache(k, v), x, p, attn_len)
+                    params, cfg, cache, x, p, attn_len)
                 key, sub = jax.random.split(key)
                 nxt = sample_batched(logits, temps, top_ps, sub)
-                return (nxt, p + 1, cache.k, cache.v, key), nxt
+                return (nxt, p + 1, cache, key), nxt
 
-            (toks, pos, k, v, key), all_toks = jax.lax.scan(
-                step, (tokens, pos, k, v, key), length=n_steps)
-            return all_toks, k, v
+            (toks, pos, cache, key), all_toks = jax.lax.scan(
+                step, (tokens, pos, cache, key), length=n_steps)
+            return all_toks, cache
 
         self._decode_chunk_b = _decode_chunk_b
         self._embed = jax.jit(partial(embed_tokens, cfg=cfg))
@@ -303,12 +318,11 @@ class BatchScheduler:
                 xt = jnp.pad(xt, ((0, pad - xt.shape[0]), (0, 0)))
             attn_len = self._bucket(pos + pad)
             last = off + chunk >= n
-            logits, k, v = self._prefill_slot(
-                self.params, self.cache.k, self.cache.v, xt,
+            logits, self.cache = self._prefill_slot(
+                self.params, self.cache, xt,
                 jnp.int32(slot_idx), jnp.int32(pos),
                 jnp.int32(chunk - 1), attn_len=attn_len,
                 want_logits=want_logits and last)
-            self.cache = KVCache(k, v)
             pos += chunk
             off += chunk
         return logits, pos
@@ -334,12 +348,11 @@ class BatchScheduler:
                 xt = jnp.pad(xt, ((0, pad - xt.shape[0]), (0, 0)))
             attn_len = self._bucket(slot.pos + pad)
             last = off + chunk >= n
-            logits, k, v = self._prefill_slot(
-                self.params, self.cache.k, self.cache.v, xt,
+            logits, self.cache = self._prefill_slot(
+                self.params, self.cache, xt,
                 jnp.int32(slot_idx), jnp.int32(slot.pos),
                 jnp.int32(chunk - 1), attn_len=attn_len,
                 want_logits=last)
-            self.cache = KVCache(k, v)
             slot.pos += chunk
             slot.pending_off = off + chunk
             if not last:
@@ -422,11 +435,10 @@ class BatchScheduler:
         attn_len = self._bucket(int(pos.max()) + n)
         self.key, sub = jax.random.split(self.key)
         t0 = time.perf_counter()
-        toks, k, v = self._decode_chunk_b(
-            self.params, self.cache.k, self.cache.v,
+        toks, self.cache = self._decode_chunk_b(
+            self.params, self.cache,
             jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(temps),
             jnp.asarray(top_ps), sub, n_steps=n, attn_len=attn_len)
-        self.cache = KVCache(k, v)
         arr = np.asarray(toks)  # (n, B)
         self.decode_seconds += time.perf_counter() - t0
         for i, s in active:

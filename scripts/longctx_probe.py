@@ -55,7 +55,9 @@ def main():
     print(f"{config_name} {quant_name} seq_len={S} "
           f"device={jax.devices()[0]}", flush=True)
 
-    eng = Engine(f.cfg, params, cache_dtype=jnp.bfloat16, decode_chunk=32,
+    from lmrs_tpu.runtime.engine import CACHE_DTYPES
+    cache_dtype = CACHE_DTYPES[os.environ.get("LMRS_BENCH_KV", "bfloat16")]
+    eng = Engine(f.cfg, params, cache_dtype=cache_dtype, decode_chunk=32,
                  prefill_chunk=256)
     kv_gb = (eng.cache.k.nbytes + eng.cache.v.nbytes) / 1e9
     print(f"KV cache: {kv_gb:.1f} GB", flush=True)
