@@ -126,6 +126,12 @@ class ModelConfig:
     # shard (masked write) and attention merges across shards with an
     # online-softmax reduction (ops.attention.attention_cp).
     cp_axis: Optional[str] = None
+    # cp_degree: static size of the cp axis (1 = no cp).  Prefill chunks
+    # whose length divides by it run SEQUENCE-PARALLEL: each shard projects
+    # its own T/cp token slice (q/k/v all_gathered for the cache write and
+    # the attention_cp merge), so projection/FFN FLOPs shard over cp
+    # instead of being replicated.
+    cp_degree: int = 1
 
     def __post_init__(self):
         from lmrs_tpu.quant import QuantType  # local import to avoid cycle

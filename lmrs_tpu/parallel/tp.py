@@ -179,11 +179,14 @@ def build_tp_params(cfg: ModelConfig, tensors: Dict[str, tuple], mesh: Mesh,
 
 def local_config(cfg: ModelConfig, tp: int = 1,
                  tp_axis: Optional[str] = None,
-                 cp_axis: Optional[str] = None) -> ModelConfig:
+                 cp_axis: Optional[str] = None,
+                 cp: int = 1) -> ModelConfig:
     """The LOCAL ModelConfig a shard_map body runs the shared forward with:
     head counts and hidden_dim divided by tp, collective axes recorded so
     models.transformer inserts the psums/all_gathers itself (the shard_map-
-    transparent forward — one code path for 1 chip and N)."""
+    transparent forward — one code path for 1 chip and N).  `cp` is the
+    static cp-axis size; it enables sequence-parallel prefill (projection
+    FLOPs sharded over cp, see ModelConfig.cp_degree)."""
     if tp > 1:
         _check_divisible(cfg, tp)
     return cfg.replace(
@@ -192,6 +195,7 @@ def local_config(cfg: ModelConfig, tp: int = 1,
         hidden_dim=cfg.hidden_dim // tp,
         tp_axis=tp_axis if tp > 1 else None,
         cp_axis=cp_axis,
+        cp_degree=cp if cp_axis is not None else 1,
     )
 
 

@@ -108,7 +108,7 @@ def _make_mesh_fns(cfg: ModelConfig, mesh, param_spec,
 
     tp, cp = _mesh_axes(mesh)
     cfg_l = local_config(cfg, tp, "tp" if tp > 1 else None,
-                         "cp" if cp > 1 else None)
+                         "cp" if cp > 1 else None, cp=cp)
     cache_p = _mesh_cache_spec(mesh)
     scale_p = cache_p if quant_cache else None
     cache_spec = KV(cache_p, cache_p, scale_p, scale_p)
