@@ -52,6 +52,11 @@ class GenerationConfig:
     top_p: float = 0.9
     seed: Optional[int] = None
     max_new_tokens: int = 512
+    # speculative_k > 0 enables prompt-lookup speculative decoding (greedy
+    # only — temperature must be 0): k drafted tokens verified per forward,
+    # device-side lookup/accept loop (runtime/speculative.py).  k=7 keeps
+    # the T=k+1 verify step on the fast decode matmul kernels (T<=8).
+    speculative_k: int = 0
 
 
 @dataclasses.dataclass
@@ -61,6 +66,9 @@ class StepMetrics:
     decode_tokens: int = 0
     decode_seconds: float = 0.0
     ttft_seconds: Optional[float] = None
+    # speculative decoding accounting (runtime/speculative.py)
+    spec_proposed: int = 0
+    spec_accepted: int = 0
 
     @property
     def tokens_per_second(self) -> float:
@@ -313,12 +321,17 @@ class Engine:
             scale_sharding = NamedSharding(mesh, _mesh_cache_spec(mesh))
         self.cache = init_kv_cache(cfg, cache_dtype, sharding=cache_sharding,
                                    scale_sharding=scale_sharding)
+        # known-token history by POSITION (-1 = unknown, e.g. multimodal
+        # embeds or resumed sessions) — feeds prompt-lookup speculative
+        # decoding; host-side, one int per context row
+        self._hist = np.full(cfg.seq_len, -1, np.int32)
 
     # ------------------------------------------------------------------
     def reset(self):
         """New conversation: zero `pos` (cache contents become dead)."""
         self.pos = 0
         self.metrics = StepMetrics()
+        self._hist[:] = -1
 
     def warmup(self, max_pos: Optional[int] = None,
                temperature: float = 0.0, top_p: float = 0.9,
@@ -378,6 +391,9 @@ class Engine:
         token-by-token prompt feed (chat.rs:187-198) and its
         `fill_kv_cache` (transformer.rs:672-684)."""
         tok = jnp.asarray(np.asarray(tokens, np.int32))
+        n = tok.shape[0]
+        if self.pos + n <= self.cfg.seq_len:
+            self._hist[self.pos:self.pos + n] = np.asarray(tokens, np.int32)
         if self.mesh is not None:
             # tokens cross the shard_map boundary raw: the embedding table
             # is vocab-sharded (masked gather + psum inside the mesh)
@@ -435,6 +451,7 @@ class Engine:
         """One autoregressive step; returns logits (V,).
         (reference: transformer.rs:316-384 via chat.rs:214)."""
         tok = jnp.asarray([token], jnp.int32)
+        self._hist[self.pos] = token
         x = tok if self.mesh is not None else self._embed(self.params,
                                                           tokens=tok)
         attn_len = self._attn_bucket(self.pos + 1)
@@ -467,8 +484,17 @@ class Engine:
         tok = int(self._sample(logits, gen, sub))
         self.metrics.ttft_seconds = time.perf_counter() - t_start
         out.append(tok)
+        if self.pos < self.cfg.seq_len:
+            self._hist[self.pos] = tok  # the token AT `pos`, not yet cached
         if on_token is not None:
             on_token(tok)
+
+        if (gen.speculative_k > 0 and gen.temperature == 0.0
+                and self.mesh is None):
+            self._generate_speculative(gen, stop, out, on_token)
+            self.metrics.decode_tokens += len(out)
+            self.metrics.decode_seconds += time.perf_counter() - t_decode0
+            return out
 
         # Chunked decode with dispatch/fetch overlap: chunk i+1 is enqueued
         # BEFORE chunk i's tokens are fetched to the host, so the device
@@ -547,11 +573,58 @@ class Engine:
                 hit_stop = True
                 break
         self.pos = pos_before + used
+        self._hist[pos_before + 1:pos_before + 1 + used] = arr[:used]
         for t in arr[:used]:
             out.append(int(t))
             if on_token is not None:
                 on_token(int(t))
         return hit_stop or len(out) >= gen.max_new_tokens
+
+    def _generate_speculative(self, gen: GenerationConfig, stop,
+                              out: List[int], on_token) -> None:
+        """Prompt-lookup speculative decode loop (greedy; see
+        runtime/speculative.py).  The first sampled token is already in
+        `out` and recorded in the history at index self.pos; each device
+        chunk runs n_steps lookup→verify(T=k+1)→accept steps and returns
+        a variable token count.  One host sync per chunk (the count
+        gates the loop), so chunks are sized like decode_chunk."""
+        from lmrs_tpu.runtime.speculative import make_spec_chunk
+
+        k = gen.speculative_k
+        spec = make_spec_chunk(self.cfg)
+        h = jnp.asarray(self._hist)
+        stopped = out[-1] in stop if out else False
+        while not stopped and len(out) < gen.max_new_tokens:
+            n_steps = max(1, self.decode_chunk // 2)
+            # worst case every draft is rejected: n_steps*(k+1) rows
+            while n_steps > 1 and \
+                    self.pos + n_steps * (k + 1) + 1 >= self.cfg.seq_len:
+                n_steps //= 2
+            if self.pos + n_steps * (k + 1) + 1 >= self.cfg.seq_len:
+                break
+            attn_len = self._attn_bucket(self.pos + n_steps * (k + 1) + 1)
+            pos_before = self.pos
+            out_buf, n_out, self.cache, h, p_new, accs = spec(
+                self.params, self.cache, h, jnp.int32(pos_before),
+                n_steps=n_steps, k=k, attn_len=attn_len)
+            arr = np.asarray(out_buf)
+            n_o = int(n_out)
+            self.metrics.spec_proposed += n_steps * k
+            self.metrics.spec_accepted += int(np.asarray(accs).sum())
+            used = min(n_o, gen.max_new_tokens - len(out))
+            for i, t in enumerate(arr[:used]):
+                if int(t) in stop:
+                    used = i + 1
+                    stopped = True
+                    break
+            self.pos = pos_before + used
+            self._hist[pos_before + 1:pos_before + 1 + used] = arr[:used]
+            for t in arr[:used]:
+                out.append(int(t))
+                if on_token is not None:
+                    on_token(int(t))
+            if len(out) >= gen.max_new_tokens:
+                break
 
     # ------------------------------------------------------------------
     # Session persistence — the reference has none (its KV cache and `pos`

@@ -1,0 +1,131 @@
+"""Prompt-lookup speculative decoding (runtime/speculative.py).
+
+The invariant is exact greedy parity: speculative generate must emit the
+SAME tokens as plain greedy decode — accepted drafts are argmaxes by
+construction, rejected positions emit the argmax correction.  The
+reference has no speculative path (one token per forward,
+src/bin/chat.rs:214); this is a TPU-side throughput feature (a T=k+1
+verify forward costs about one decode step's HBM traffic).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmrs_tpu.config import ModelType
+from lmrs_tpu.io.params import params_from_weights
+from lmrs_tpu.io.synthetic import random_weights, tiny_config
+from lmrs_tpu.quant import QuantType
+from lmrs_tpu.runtime.engine import Engine, GenerationConfig
+
+
+def _make(mt=ModelType.LLAMA, qt=QuantType.Q8_0, seed=11, **kw):
+    cfg = tiny_config(mt, qt, seq_len=512, **kw)
+    params = params_from_weights(cfg, random_weights(cfg, seed),
+                                 stack_layers=True, fuse_qkv=True)
+    return cfg, params
+
+
+def _engine(cfg, params, **kw):
+    return Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=32,
+                  prefill_chunk=8, decode_chunk=8, **kw)
+
+
+PROMPTS = [
+    [3, 17, 42, 7, 99, 23, 5],
+    # repetitive prompt: the bigram lookup has matches from step one
+    [5, 9, 11, 5, 9, 11, 5, 9, 11, 5, 9],
+    [2],
+]
+
+
+@pytest.mark.parametrize("mt,qt", [
+    (ModelType.LLAMA, QuantType.Q8_0),
+    (ModelType.GEMMA, QuantType.Q4_0),
+])
+def test_speculative_greedy_parity(mt, qt):
+    cfg, params = _make(mt, qt)
+    eng = _engine(cfg, params)
+    for prompt in PROMPTS:
+        gen0 = GenerationConfig(temperature=0.0, max_new_tokens=48)
+        genk = GenerationConfig(temperature=0.0, max_new_tokens=48,
+                                speculative_k=4)
+        eng.reset()
+        want = eng.generate(prompt, gen0)
+        eng.reset()
+        got = eng.generate(prompt, genk)
+        assert got == want, (prompt, got, want)
+        m = eng.metrics
+        assert m.spec_proposed > 0
+        assert 0 <= m.spec_accepted <= m.spec_proposed
+
+
+def test_speculative_accepts_on_looping_output():
+    """Greedy tiny models fall into repetition loops; once the output
+    cycles, the bigram lookup's draft IS the argmax continuation and
+    acceptance must fire.  Only asserted when the plain output actually
+    loops (seed-dependent), but at least one of the seeds must loop —
+    otherwise the acceptance path is silently untested."""
+    looped = False
+    for seed in (11, 3, 7, 21):
+        cfg, params = _make(seed=seed)
+        eng = _engine(cfg, params)
+        gen0 = GenerationConfig(temperature=0.0, max_new_tokens=96)
+        plain = eng.generate([3, 8, 1], gen0)
+        # output loops if some bigram recurs with identical continuation
+        seen = {}
+        cyclic = False
+        for i in range(len(plain) - 2):
+            key = (plain[i], plain[i + 1])
+            if key in seen and plain[seen[key] + 2] == plain[i + 2]:
+                cyclic = True
+                break
+            seen[key] = i
+        if not cyclic:
+            continue
+        looped = True
+        eng.reset()
+        got = eng.generate([3, 8, 1], GenerationConfig(
+            temperature=0.0, max_new_tokens=96, speculative_k=4))
+        assert got == plain
+        assert eng.metrics.spec_accepted > 0, "loop but nothing accepted"
+        break
+    assert looped, "no seed produced a looping output; pick new seeds"
+
+
+def test_speculative_stop_token_and_multiturn():
+    cfg, params = _make()
+    eng_p = _engine(cfg, params)
+    eng_s = _engine(cfg, params)
+    gen0 = GenerationConfig(temperature=0.0, max_new_tokens=40)
+    genk = GenerationConfig(temperature=0.0, max_new_tokens=40,
+                            speculative_k=3)
+
+    # pick a stop token that actually occurs mid-stream in plain output
+    plain = eng_p.generate(PROMPTS[0], gen0)
+    stop_tok = plain[len(plain) // 2]
+    eng_p.reset()
+
+    want = eng_p.generate(PROMPTS[0], gen0, stop_tokens=[stop_tok])
+    got = eng_s.generate(PROMPTS[0], genk, stop_tokens=[stop_tok])
+    assert got == want
+    assert eng_p.pos == eng_s.pos
+
+    # second turn continues from the truncated position — history must
+    # stay position-aligned through the truncation
+    want2 = eng_p.generate([7, 7, 2], gen0)
+    got2 = eng_s.generate([7, 7, 2], genk)
+    assert got2 == want2
+
+
+def test_speculative_int8_cache_parity():
+    cfg, params = _make()
+    eng = Engine(cfg, params, cache_dtype=jnp.int8, min_attn_bucket=32,
+                 prefill_chunk=8, decode_chunk=8)
+    gen0 = GenerationConfig(temperature=0.0, max_new_tokens=32)
+    genk = GenerationConfig(temperature=0.0, max_new_tokens=32,
+                            speculative_k=4)
+    want = eng.generate(PROMPTS[1], gen0)
+    eng.reset()
+    got = eng.generate(PROMPTS[1], genk)
+    assert got == want
