@@ -92,9 +92,12 @@ def _load_model(path: str, impl: str):
     return f.cfg, params_from_lmrs(f)
 
 
-def _compare(preset: str, n_tokens: int, gs: int, seed: int, impl: str):
+def _compare(preset: str, n_tokens: int, gs: int, seed: int, impl: str,
+             cache_dtype=None):
     """Quantization-degradation study: one synthetic f32 model, quantized
-    to Q8_0/Q4_0 at the same group size, scored on the same token stream."""
+    to Q8_0/Q4_0 at the same group size, scored on the same token stream.
+    With --cache-dtype the study also isolates KV-cache storage error
+    (e.g. int8 vs f32 at fixed weight quant)."""
     from lmrs_tpu.config import ModelType
     from lmrs_tpu.io.params import params_from_weights
     from lmrs_tpu.io.synthetic import random_weights, tiny_config
@@ -119,7 +122,8 @@ def _compare(preset: str, n_tokens: int, gs: int, seed: int, impl: str):
         # at the shared group size — the matched-gs comparison BASELINE.md
         # asks for
         params = params_from_weights(cfg, weights)
-        r = score_tokens(cfg, params, tokens)
+        r = score_tokens(cfg, params, tokens,
+                         cache_dtype=cache_dtype or jnp.float32)
         results[qt.name] = r
         print(f"{qt.name:5s}: ppl {r['perplexity']:10.4f}  "
               f"nll/tok {r['nll_per_token']:.6f}", flush=True)
@@ -144,10 +148,17 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--impl", default="fast", choices=["fast", "exact"])
+    ap.add_argument("--cache-dtype", default="float32",
+                    choices=["float32", "bfloat16", "int8"],
+                    help="KV cache storage during scoring — measures the "
+                         "quantized-cache accuracy cost in nll")
     args = ap.parse_args()
 
+    cache_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                   "int8": jnp.int8}[args.cache_dtype]
     if args.compare:
-        _compare(args.compare, args.n_tokens, args.gs, args.seed, args.impl)
+        _compare(args.compare, args.n_tokens, args.gs, args.seed, args.impl,
+                 cache_dtype=cache_dtype)
         return
 
     if not args.model:
@@ -163,7 +174,8 @@ def main():
         tokens = np.asarray([tok.bos_id] + tok.encode(text), np.int32)
     else:
         ap.error("--tokens or --text required with --model")
-    r = score_tokens(cfg, params, tokens[: cfg.seq_len], chunk=args.chunk)
+    r = score_tokens(cfg, params, tokens[: cfg.seq_len], chunk=args.chunk,
+                     cache_dtype=cache_dtype)
     print(f"perplexity {r['perplexity']:.4f}  "
           f"nll/tok {r['nll_per_token']:.6f}  over {r['tokens_scored']} tok")
 
