@@ -74,6 +74,9 @@ class _Slot:
     pending: Optional[Request] = None
     pending_x: Optional[object] = None   # prompt embeddings (N, D)
     pending_off: int = 0
+    # token at each cached row (feeds the admission prefix cache); -1 marks
+    # rows with no token (image embeddings).  Valid through min(len, pos).
+    tokens: List[int] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -95,7 +98,7 @@ class BatchScheduler:
                  cache_dtype=jnp.bfloat16, prefill_chunk: int = 64,
                  decode_chunk: int = 8, min_attn_bucket: int = 256,
                  temperature: float = 0.0, top_p: float = 0.9,
-                 seed: int = 0):
+                 seed: int = 0, prefix_cache_min: int = 32):
         self.cfg = cfg
         self.params = params
         self.B = max_batch
@@ -129,6 +132,15 @@ class BatchScheduler:
         self.key = jax.random.PRNGKey(seed)
         self.tokens_emitted = 0
         self.decode_seconds = 0.0
+        # admission prefix cache: a fresh request whose prompt shares a
+        # >= prefix_cache_min token prefix with a resident slot's history
+        # (shared system prompts, forked conversations) COPIES those cache
+        # rows device-side instead of recomputing the prefill — the
+        # reference recomputes every connection's prompt from scratch
+        # (src/bin/backend.rs:88-110).  0 disables.
+        self.prefix_cache_min = prefix_cache_min
+        self.prefix_hits = 0
+        self.prefix_tokens_saved = 0
 
         def _slot_view(cache, slot):
             sl = (lambda a: None if a is None else
@@ -142,6 +154,24 @@ class BatchScheduler:
             return KVCache(st(cache.k, new.k), st(cache.v, new.v),
                            st(cache.k_scale, new.k_scale),
                            st(cache.v_scale, new.v_scale))
+
+        @partial(jax.jit, donate_argnames=("cache",))
+        def _copy_prefix(cache, src, dst, n_rows):
+            """Copy rows [0, n_rows) of slot src's cache into slot dst
+            (one masked whole-slot pass, O(1) program size; n_rows is a
+            traced scalar so one compile serves every prefix length)."""
+            def cp(a):
+                if a is None:
+                    return None
+                srow = jax.lax.dynamic_slice_in_dim(a, src, 1, 0)[0]
+                drow = jax.lax.dynamic_slice_in_dim(a, dst, 1, 0)[0]
+                mask = (jnp.arange(a.shape[2]) < n_rows)[None, :, None]
+                return jax.lax.dynamic_update_slice_in_dim(
+                    a, jnp.where(mask, srow, drow)[None], dst, 0)
+            return KVCache(cp(cache.k), cp(cache.v),
+                           cp(cache.k_scale), cp(cache.v_scale))
+
+        self._copy_prefix = _copy_prefix
 
         @partial(jax.jit,
                  static_argnames=("attn_len", "want_logits"),
@@ -210,6 +240,7 @@ class BatchScheduler:
                     lease = Lease(slot_idx=i)
                     s.lease = lease
                     s.pos = 0
+                    s.tokens = []
                     return lease
         return None
 
@@ -233,6 +264,7 @@ class BatchScheduler:
                 f"{slot.pos} exceeds max context {self.S}")
         slot.pos = self._run_prefill(lease.slot_idx, embeds,
                                      slot.pos, want_logits=False)[1]
+        slot.tokens.extend([-1] * embeds.shape[0])  # rows with no token
 
     @property
     def active(self) -> int:
@@ -275,6 +307,7 @@ class BatchScheduler:
                 slot_idx = free[0]
                 slot = self.slots[slot_idx]
                 slot.pos = 0
+                slot.tokens = []
             with self._lock:
                 if req not in self.waiting:
                     continue
@@ -297,6 +330,38 @@ class BatchScheduler:
                 self.params,
                 tokens=jnp.asarray(np.asarray(req.prompt, np.int32)))
             slot.pending_off = 0
+            # admission prefix cache: fork a resident slot's shared prefix
+            # rows instead of recomputing them
+            if slot.pos == 0 and self.prefix_cache_min:
+                n_cp, donor = self._best_prefix(req.prompt, slot_idx)
+                if n_cp >= self.prefix_cache_min:
+                    self.cache = self._copy_prefix(
+                        self.cache, jnp.int32(donor), jnp.int32(slot_idx),
+                        jnp.int32(n_cp))
+                    slot.pos = n_cp
+                    slot.pending_off = n_cp
+                    slot.tokens = list(req.prompt[:n_cp])
+                    self.prefix_hits += 1
+                    self.prefix_tokens_saved += n_cp
+
+    def _best_prefix(self, prompt: Sequence[int], exclude: int):
+        """(longest shared token prefix, donor slot) across resident
+        slots.  Capped at len(prompt)-1 so the tail prefill still produces
+        the first-token logits; mid-prefill donors are skipped (their rows
+        beyond pending_off aren't committed)."""
+        best, donor = 0, -1
+        for i, s in enumerate(self.slots):
+            if i == exclude or s.pending is not None:
+                continue
+            if s.req is None and s.lease is None:
+                continue  # free slot: rows are dead
+            limit = min(len(s.tokens), s.pos, len(prompt) - 1)
+            n = 0
+            while n < limit and s.tokens[n] == prompt[n]:
+                n += 1
+            if n > best:
+                best, donor = n, i
+        return best, donor
 
     def _run_prefill(self, slot_idx: int, x, pos: int,
                      want_logits: bool = True):
@@ -353,7 +418,13 @@ class BatchScheduler:
                 jnp.int32(slot_idx), jnp.int32(slot.pos),
                 jnp.int32(chunk - 1), attn_len=attn_len,
                 want_logits=last)
+            start_pos = slot.pos
             slot.pos += chunk
+            # keep list index == row position: a lease continuation's first
+            # prompt token overwrites the previous turn's final (never-
+            # written) row, so truncate before extending
+            del slot.tokens[start_pos:]
+            slot.tokens.extend(req.prompt[off:off + chunk])
             slot.pending_off = off + chunk
             if not last:
                 continue
@@ -380,6 +451,7 @@ class BatchScheduler:
         req = slot.req
         for i, t in enumerate(toks):
             req.out.append(t)
+            slot.tokens.append(t)
             self.tokens_emitted += 1
             if req.on_token is not None:
                 req.on_token(t)
@@ -394,6 +466,7 @@ class BatchScheduler:
         if slot.lease is None or slot.lease.released:
             slot.lease = None
             slot.pos = 0
+            slot.tokens = []
         # leased slots keep pos: the conversation's KV prefix stays resident
         if req.on_done is not None:
             req.on_done(req.out)

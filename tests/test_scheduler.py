@@ -340,3 +340,83 @@ def test_program_size_constant_in_batch(model):
                 cache, x, pos)
         sizes[b] = len(str(jaxpr))
     assert sizes[16] < sizes[4] * 1.5, sizes
+
+
+def test_prefix_cache_token_exact(model):
+    """A fresh request sharing a long prompt prefix with a resident slot
+    copies those cache rows (admission prefix cache) and must emit EXACTLY
+    the tokens it emits without the cache (the copy is bit-exact)."""
+    cfg, params = model
+    shared = list(np.random.default_rng(5).integers(1, 250, size=40))
+    p_a = shared + [3, 9]
+    p_b = shared + [11, 4, 8]
+
+    def run(prefix_min):
+        sched = BatchScheduler(cfg, params, max_batch=4, max_ctx=128,
+                               cache_dtype=jnp.float32, prefill_chunk=8,
+                               decode_chunk=4, min_attn_bucket=32,
+                               temperature=0.0,
+                               prefix_cache_min=prefix_min)
+        done = {}
+        lease = sched.new_conversation()  # keeps A's rows resident
+        sched.submit(p_a, max_new_tokens=6, lease=lease,
+                     on_done=lambda o: done.setdefault("a", o))
+        sched.run()
+        sched.submit(p_b, max_new_tokens=8,
+                     on_done=lambda o: done.setdefault("b", o))
+        sched.run()
+        return done, sched
+
+    done_plain, s_plain = run(prefix_min=0)
+    done_pc, s_pc = run(prefix_min=16)
+    assert s_plain.prefix_hits == 0
+    assert s_pc.prefix_hits == 1
+    assert s_pc.prefix_tokens_saved == len(shared)  # 40 shared rows forked
+    assert done_pc["a"] == done_plain["a"]
+    assert done_pc["b"] == done_plain["b"]
+
+
+def test_prefix_cache_int8(model):
+    """Prefix forking also copies the int8 cache's scale planes."""
+    cfg, params = model
+    shared = list(np.random.default_rng(6).integers(1, 250, size=32))
+
+    def run(prefix_min):
+        sched = BatchScheduler(cfg, params, max_batch=2, max_ctx=128,
+                               cache_dtype=jnp.int8, prefill_chunk=8,
+                               decode_chunk=4, min_attn_bucket=32,
+                               temperature=0.0,
+                               prefix_cache_min=prefix_min)
+        done = {}
+        lease = sched.new_conversation()
+        sched.submit(shared + [7], max_new_tokens=5, lease=lease,
+                     on_done=lambda o: done.setdefault("a", o))
+        sched.run()
+        sched.submit(shared + [13, 2], max_new_tokens=6,
+                     on_done=lambda o: done.setdefault("b", o))
+        sched.run()
+        return done, sched
+
+    done_plain, _ = run(0)
+    done_pc, s_pc = run(16)
+    assert s_pc.prefix_hits == 1
+    assert done_pc["b"] == done_plain["b"]
+
+
+def test_prefix_cache_ignores_short_and_free(model):
+    """Prefixes below the threshold, or rows of a freed (dead) slot, must
+    not fork."""
+    cfg, params = model
+    sched = BatchScheduler(cfg, params, max_batch=2, max_ctx=128,
+                           cache_dtype=jnp.float32, prefill_chunk=8,
+                           decode_chunk=4, min_attn_bucket=32,
+                           temperature=0.0, prefix_cache_min=16)
+    done = {}
+    # no lease: A's slot frees at completion — its rows are dead
+    sched.submit([5] * 40, max_new_tokens=4,
+                 on_done=lambda o: done.setdefault("a", o))
+    sched.run()
+    sched.submit([5] * 40 + [9], max_new_tokens=4,
+                 on_done=lambda o: done.setdefault("b", o))
+    sched.run()
+    assert sched.prefix_hits == 0
