@@ -54,7 +54,7 @@ class BackendServer:
                  num_crops: int = 1, cache_dtype: str = "bfloat16",
                  max_new_tokens: Optional[int] = None, batch: int = 0,
                  max_ctx: Optional[int] = None, matmul_impl: str = "fast",
-                 tp: int = 1, cp: int = 1):
+                 tp: int = 1, cp: int = 1, spec_k: int = 0):
         import jax.numpy as jnp
 
         from lmrs_tpu.runtime.engine import CACHE_DTYPES
@@ -95,6 +95,10 @@ class BackendServer:
             self.params = params_from_lmrs(self.file, fuse_qkv=fuse)
         self.cache_dtype = CACHE_DTYPES[cache_dtype]
         self.temperature = temperature
+        # speculative decoding serves greedy single-engine connections
+        # (the batched scheduler and sampled streams keep the plain path)
+        self.spec_k = spec_k if (temperature == 0.0 and batch == 0
+                                 and tp == 1 and cp == 1) else 0
         self.top_p = top_p
         self.seed = seed
         self.num_crops = num_crops
@@ -152,7 +156,8 @@ class BackendServer:
 
         gen = GenerationConfig(temperature=self.temperature,
                                top_p=self.top_p, seed=self.seed,
-                               max_new_tokens=self.max_new_tokens)
+                               max_new_tokens=self.max_new_tokens,
+                               speculative_k=self.spec_k)
         stop_tokens = {self.tokenizer.eos,
                        *EXTRA_STOP_TOKENS.get(self.cfg.model_type, ())}
 
@@ -421,6 +426,9 @@ def main(argv=None):
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways (Megatron shard_map over a "
                         "tp-axis device mesh)")
+    p.add_argument("--spec-k", dest="spec_k", type=int, default=0,
+                   help="prompt-lookup speculative decoding for greedy "
+                        "(--temperature 0) single-engine serving")
     p.add_argument("--cp", type=int, default=1,
                    help="context-parallel ways (sequence-sharded KV cache)")
     args = p.parse_args(argv)
@@ -431,7 +439,7 @@ def main(argv=None):
                            args.top_p, args.seed, args.multimodal,
                            args.num_crops, batch=args.batch,
                            max_ctx=args.max_ctx, matmul_impl=args.impl,
-                           tp=args.tp, cp=args.cp)
+                           tp=args.tp, cp=args.cp, spec_k=args.spec_k)
     try:
         asyncio.run(server.serve(args.ip, args.port))
     except KeyboardInterrupt:
