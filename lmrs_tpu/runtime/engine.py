@@ -305,6 +305,7 @@ class Engine:
                                  "build_tp_params_stacked / replicate_params)")
             self._step, self._decode_chunk = _mesh_fns_cached(
                 cfg, mesh, param_spec, cache_dtype == jnp.int8)
+            self._param_spec = param_spec
             self._embed = None
         else:
             self._cp = 1
@@ -489,8 +490,7 @@ class Engine:
         if on_token is not None:
             on_token(tok)
 
-        if (gen.speculative_k > 0 and gen.temperature == 0.0
-                and self.mesh is None):
+        if gen.speculative_k > 0 and gen.temperature == 0.0:
             self._generate_speculative(gen, stop, out, on_token)
             self.metrics.decode_tokens += len(out)
             self.metrics.decode_seconds += time.perf_counter() - t_decode0
@@ -588,10 +588,16 @@ class Engine:
         chunk runs n_steps lookup→verify(T=k+1)→accept steps and returns
         a variable token count.  One host sync per chunk (the count
         gates the loop), so chunks are sized like decode_chunk."""
-        from lmrs_tpu.runtime.speculative import make_spec_chunk
+        from lmrs_tpu.runtime.speculative import (make_spec_chunk,
+                                                   make_spec_chunk_mesh)
 
         k = gen.speculative_k
-        spec = make_spec_chunk(self.cfg)
+        if self.mesh is not None:
+            spec = make_spec_chunk_mesh(self.cfg, self.mesh,
+                                        self._param_spec,
+                                        self.cache_dtype == jnp.int8)
+        else:
+            spec = make_spec_chunk(self.cfg)
         h = jnp.asarray(self._hist)
         stopped = out[-1] in stop if out else False
         while not stopped and len(out) < gen.max_new_tokens:

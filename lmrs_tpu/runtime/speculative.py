@@ -101,3 +101,55 @@ def make_spec_chunk(cfg: ModelConfig):
         return out, n_out, cache, h, p, accs
 
     return spec_chunk
+
+
+_MESH_SPEC = {}
+
+
+def make_spec_chunk_mesh(cfg: ModelConfig, mesh, param_spec,
+                         quant_cache: bool = False):
+    """Speculative chunk for MESH engines: the same lookup/verify/accept
+    scan, with the body under shard_map (the shard_map-transparent forward
+    inserts the tp/cp collectives; logits are all_gathered over tp, so
+    every shard computes identical argmaxes and the history/position
+    updates stay replicated).  Shared across Engine instances like
+    engine._mesh_fns_cached."""
+    leaves, treedef = jax.tree_util.tree_flatten(param_spec)
+    key = (cfg, mesh, tuple(leaves), treedef, quant_cache)
+    if key in _MESH_SPEC:
+        return _MESH_SPEC[key]
+
+    from jax.sharding import PartitionSpec as P
+
+    from lmrs_tpu.models.transformer import KVCache as KV
+    from lmrs_tpu.parallel.tp import local_config
+    from lmrs_tpu.runtime.engine import _mesh_axes, _mesh_cache_spec
+
+    tp, cp = _mesh_axes(mesh)
+    cfg_l = local_config(cfg, tp, "tp" if tp > 1 else None,
+                         "cp" if cp > 1 else None, cp=cp)
+    cache_p = _mesh_cache_spec(mesh)
+    cache_spec = KV(cache_p, cache_p,
+                    cache_p if quant_cache else None,
+                    cache_p if quant_cache else None)
+    inner = make_spec_chunk(cfg_l)
+
+    @partial(jax.jit, static_argnames=("n_steps", "k", "attn_len"),
+             donate_argnames=("cache", "h"))
+    def spec_chunk(params, cache, h, pos, n_steps: int, k: int,
+                   attn_len: int):
+        attn = cfg.seq_len if cp > 1 else attn_len
+
+        def body(params, cache, h, pos):
+            return inner.__wrapped__(params, cache, h, pos, n_steps, k,
+                                     attn)
+
+        sm = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(param_spec, cache_spec, P(), P()),
+            out_specs=(P(), P(), cache_spec, P(), P(), P()),
+            check_vma=False)
+        return sm(params, cache, h, pos)
+
+    _MESH_SPEC[key] = spec_chunk
+    return spec_chunk

@@ -129,3 +129,34 @@ def test_speculative_int8_cache_parity():
     eng.reset()
     got = eng.generate(PROMPTS[1], genk)
     assert got == want
+
+
+def test_speculative_mesh_engine_parity():
+    """Speculation composes with the shard_map tp mesh engine: same tokens
+    as the plain mesh decode (logits all_gather over tp keeps the
+    argmax/history updates replicated)."""
+    import jax
+    from lmrs_tpu.parallel.sharding import make_mesh
+    from lmrs_tpu.parallel.tp import build_tp_params_stacked
+    from test_tp import _quantized_tensors
+
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, dim=64,
+                      hidden_dim=128, n_layers=2, n_heads=8, head_dim=16,
+                      n_kv_heads=4, vocab_size=512, seq_len=128,
+                      group_size=16, matmul_impl="fast")
+    weights = random_weights(cfg, seed=7)
+    mesh = make_mesh(tp=4, dp=1, devices=jax.devices()[:4])
+    tp_params, spec = build_tp_params_stacked(
+        cfg, _quantized_tensors(cfg, weights), mesh)
+    eng = Engine(cfg, tp_params, cache_dtype=jnp.float32,
+                 min_attn_bucket=32, prefill_chunk=8, decode_chunk=4,
+                 mesh=mesh, param_spec=spec)
+    prompt = [5, 9, 11, 5, 9, 11, 5, 9]
+    want = eng.generate(prompt, GenerationConfig(temperature=0.0,
+                                                 max_new_tokens=20))
+    eng.reset()
+    got = eng.generate(prompt, GenerationConfig(temperature=0.0,
+                                                max_new_tokens=20,
+                                                speculative_k=3))
+    assert got == want
+    assert eng.metrics.spec_proposed > 0
