@@ -199,7 +199,12 @@ def main(argv: Optional[List[str]] = None) -> None:
         sys.stdout.write(decoder.flush() + "\n")
         if args.show_metrics:
             dt = time.perf_counter() - t0
-            print(f"Speed: {n_tokens / dt:.2f} tok/s")
+            m = engine.metrics
+            extra = ""
+            if m.spec_proposed:
+                extra = (f"  (draft acceptance "
+                         f"{m.spec_accepted / m.spec_proposed:.0%})")
+            print(f"Speed: {n_tokens / dt:.2f} tok/s{extra}")
 
 
 if __name__ == "__main__":
