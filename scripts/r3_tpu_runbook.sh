@@ -1,0 +1,61 @@
+#!/bin/bash
+# Round-3 TPU measurement runbook — run serially (compiles queue server-side;
+# never run two TPU jobs at once).  Each stage logs to $OUT/<stage>.log and
+# the script continues past failures so one broken kernel doesn't block the
+# rest.  Stage 0 gates everything: if the flash kernels don't lower on
+# Mosaic, skip the long-context stages and investigate.
+#
+# Usage:  bash scripts/r3_tpu_runbook.sh [outdir]   (default /tmp/r3_runs)
+set -u
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+OUT="${1:-/tmp/r3_runs}"
+mkdir -p "$OUT"
+cd "$REPO"
+
+run() { # name timeout cmd...
+  local name="$1" t="$2"; shift 2
+  echo "=== $name (timeout ${t}s) $(date +%H:%M:%S)" | tee -a "$OUT/summary.log"
+  timeout "$t" "$@" >"$OUT/$name.log" 2>&1
+  local rc=$?
+  tail -n 6 "$OUT/$name.log" | sed 's/^/    /'
+  echo "--- $name rc=$rc" | tee -a "$OUT/summary.log"
+  return $rc
+}
+
+# 0. tunnel liveness (cheap, fail fast)
+run tunnel 120 python -c "import jax; print(jax.devices())" || {
+  echo "TUNNEL DOWN — aborting runbook"; exit 1; }
+
+# 1. flash kernel smoke: all 4 variants (bf16/int8 x stacked/batched) lower?
+run flash_smoke 1800 python scripts/flash_smoke.py 8192 8 2 128
+FLASH_OK=$?
+
+# 2. driver-visible headline bench (gemma2-9b q4, 1k prompt) — no flash
+#    buckets touched; tail must be free of TRACING CACHE MISS
+run bench_9b_q4 3600 python bench.py
+
+# 3. speculative probe (gemma-2b q8: repetitive vs random prompts)
+LMRS_BENCH_CONFIG=gemma2-2b LMRS_BENCH_QUANT=q8_0 \
+  run spec_probe 3600 python scripts/spec_probe.py
+
+# 4. batched serving at B=16 (program size O(1) in B this round)
+LMRS_BENCH_CONFIG=llama3.2-1b LMRS_BENCH_QUANT=q8_0 LMRS_BENCH_BATCH=16 \
+  run batched_b16 3600 python bench.py
+
+if [ "$FLASH_OK" -eq 0 ]; then
+  # 5. long context with the flash kernel: gemma-2b 32k, bf16 then int8
+  #    (targets: pos-32k decode >= 80% of the 1k rate, was 59%)
+  LMRS_BENCH_CONFIG=gemma2-2b LMRS_BENCH_QUANT=q4_0 LMRS_MAX_SEQ_LEN=32768 \
+    run longctx_2b_bf16 5400 python scripts/longctx_probe.py
+  LMRS_BENCH_CONFIG=gemma2-2b LMRS_BENCH_QUANT=q4_0 LMRS_MAX_SEQ_LEN=32768 \
+  LMRS_BENCH_KV=int8 \
+    run longctx_2b_int8 5400 python scripts/longctx_probe.py
+  # 6. gemma-9b at 16k (target >= 90% of its 1k rate, was 74%)
+  LMRS_BENCH_CONFIG=gemma2-9b LMRS_BENCH_QUANT=q4_0 LMRS_MAX_SEQ_LEN=16384 \
+    run longctx_9b 5400 python scripts/longctx_probe.py
+else
+  echo "flash smoke FAILED — skipping long-context stages" \
+    | tee -a "$OUT/summary.log"
+fi
+
+echo "runbook done $(date +%H:%M:%S)" | tee -a "$OUT/summary.log"
