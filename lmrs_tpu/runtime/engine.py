@@ -601,7 +601,10 @@ class Engine:
         h = jnp.asarray(self._hist)
         stopped = out[-1] in stop if out else False
         while not stopped and len(out) < gen.max_new_tokens:
-            n_steps = max(1, self.decode_chunk // 2)
+            # one host sync per chunk (the variable token count gates the
+            # loop): full decode_chunk-sized chunks amortize the
+            # device->host RTT, which dominates on remote-attached chips
+            n_steps = max(1, self.decode_chunk)
             # worst case every draft is rejected: n_steps*(k+1) rows
             while n_steps > 1 and \
                     self.pos + n_steps * (k + 1) + 1 >= self.cfg.seq_len:
