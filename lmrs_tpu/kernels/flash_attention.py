@@ -75,10 +75,12 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
     this guard skips the compute.  The final-step output write runs
     unconditionally off the accumulated scratch.
 
-    With `quantized`, k/v blocks are int8 and two extra (s_blk, KH) f32
-    scale blocks stream alongside: key scales multiply the SCORE COLUMNS
-    and value scales fold into the softmax weights before the p@V dot —
-    dequantization never materializes a float K/V block.
+    With `quantized`, k/v blocks are int8 and two extra (KH, s_blk) f32
+    scale blocks stream alongside (sequence-last storage: each head's
+    scale row is a native lane vector, no in-kernel relayout): key scales
+    multiply the SCORE COLUMNS and value scales fold into the softmax
+    weights before the p@V dot — dequantization never materializes a
+    float K/V block.
     """
     if quantized:
         ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
@@ -112,7 +114,7 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
                 q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # (GT, s_blk)
             if quantized:
-                s = s * ks_ref[0][:, h][None, :]
+                s = s * ks_ref[0][h][None, :]
             if softcap is not None:
                 s = jnp.tanh(s / softcap) * softcap
             s = s + win_add
@@ -124,7 +126,7 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
             p = jnp.exp(s - m_new[:, None])                 # (GT, s_blk)
             l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
             v_h = v_ref[0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
-            pw = p * vs_ref[0][:, h][None, :] if quantized else p
+            pw = p * vs_ref[0][h][None, :] if quantized else p
             pv = jax.lax.dot_general(
                 pw.astype(jnp.bfloat16), v_h,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -152,7 +154,7 @@ def flash_decode_stacked(
     window: Optional[int] = None,
     s_blk: int = 512,
     interpret: Optional[bool] = None,
-    k_scale: Optional[jax.Array] = None,   # (L, S, KH) f32 — int8 cache
+    k_scale: Optional[jax.Array] = None,   # (L, KH, S) f32 — int8 cache
     v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Blockwise GQA attention over the stacked cache; returns (T, H, hd)
@@ -216,6 +218,9 @@ def flash_decode_stacked(
     def _kv_idx(j, sp):
         return (sp[0], jnp.minimum(sp[1] + j, sp[3]), 0)
 
+    def _ks_idx(j, sp):
+        return (sp[0], 0, jnp.minimum(sp[1] + j, sp[3]))
+
     quantized = k_scale is not None
     in_specs = [
         pl.BlockSpec((kh, gt, hd), lambda j, sp: (0, 0, 0),
@@ -227,7 +232,7 @@ def flash_decode_stacked(
     ]
     operands = [sp, qk, k3, v3]
     if quantized:
-        in_specs += [pl.BlockSpec((1, s_blk, kh), _kv_idx,
+        in_specs += [pl.BlockSpec((1, kh, s_blk), _ks_idx,
                                   memory_space=pltpu.VMEM)] * 2
         operands += [k_scale, v_scale]
 
@@ -303,7 +308,7 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
                 q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             if quantized:
-                s = s * ks_ref[0, 0][:, h][None, :]
+                s = s * ks_ref[0, 0][h][None, :]
             if softcap is not None:
                 s = jnp.tanh(s / softcap) * softcap
             s = s + win_add
@@ -314,7 +319,7 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
             p = jnp.exp(s - m_new[:, None])
             l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
             v_h = v_ref[0, 0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
-            pw = p * vs_ref[0, 0][:, h][None, :] if quantized else p
+            pw = p * vs_ref[0, 0][h][None, :] if quantized else p
             pv = jax.lax.dot_general(
                 pw.astype(jnp.bfloat16), v_h,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -342,7 +347,7 @@ def flash_decode_batched(
     window: Optional[int] = None,
     s_blk: int = 512,
     interpret: Optional[bool] = None,
-    k_scale: Optional[jax.Array] = None,   # (B, L, S, KH) f32 — int8 cache
+    k_scale: Optional[jax.Array] = None,   # (B, L, KH, S) f32 — int8 cache
     v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Per-slot blockwise decode attention for the continuous-batching step;
@@ -380,6 +385,9 @@ def flash_decode_batched(
     def _kv_idx(b, j, sp):
         return (b, sp[0], jnp.minimum(sp[1 + b] + j, sp[1 + 2 * B + b]), 0)
 
+    def _ks_idx(b, j, sp):
+        return (b, sp[0], 0, jnp.minimum(sp[1 + b] + j, sp[1 + 2 * B + b]))
+
     quantized = k_scale is not None
     in_specs = [
         pl.BlockSpec((1, kh, gt, hd), lambda b, j, sp: (b, 0, 0, 0),
@@ -391,7 +399,7 @@ def flash_decode_batched(
     ]
     operands = [sp, qk, k4, v4]
     if quantized:
-        in_specs += [pl.BlockSpec((1, 1, s_blk, kh), _kv_idx,
+        in_specs += [pl.BlockSpec((1, 1, kh, s_blk), _ks_idx,
                                   memory_space=pltpu.VMEM)] * 2
         operands += [k_scale, v_scale]
 

@@ -110,8 +110,11 @@ class KVCache:
     per layer per token — measured 3 tok/s at 32k.)
 
     With int8 k/v arrays the cache is QUANTIZED per (position, head):
-    k_scale/v_scale hold (L, S, KH) f32 absmax/127 factors (None for float
-    caches).  Halves attention HBM traffic vs bf16 and doubles the max
+    k_scale/v_scale hold (L, KH, S) f32 absmax/127 factors (None for float
+    caches) — sequence LAST, so a flash-kernel scale block (kh, s_blk) has
+    positions along lanes and per-head scale rows read as native lane
+    vectors (a (s_blk, kh) layout would need an in-kernel sublane->lane
+    relayout per head per block).  Halves attention HBM traffic vs bf16 and doubles the max
     context per chip; the flash kernel folds the scales into score columns
     / softmax weights, so dequantization costs one VPU broadcast multiply
     per block (the reference keeps a full-f32 host cache,
@@ -120,7 +123,7 @@ class KVCache:
 
     k: jax.Array  # (L, S, KH * head_dim)
     v: jax.Array  # (L, S, KH * head_dim)
-    k_scale: Optional[jax.Array] = None  # (L, S, KH) f32, int8 caches only
+    k_scale: Optional[jax.Array] = None  # (L, KH, S) f32, int8 caches only
     v_scale: Optional[jax.Array] = None
 
 
@@ -139,7 +142,7 @@ def init_kv_cache(cfg: ModelConfig, dtype=jnp.float32, seq_len: Optional[int] = 
 
     ks = vs = None
     if dtype == jnp.int8:
-        sshape = (cfg.n_layers, s, cfg.n_kv_heads)
+        sshape = (cfg.n_layers, cfg.n_kv_heads, s)
         ks = alloc(sshape, jnp.float32, scale_sharding)
         vs = alloc(sshape, jnp.float32, scale_sharding)
     return KVCache(k=alloc(shape, dtype, sharding),
@@ -209,6 +212,22 @@ def cp_masked_write(cache_arr: jax.Array, rows: jax.Array, layer_idx,
     new = jnp.where(ok, rows[None].astype(cache_arr.dtype), old)
     return jax.lax.dynamic_update_slice(cache_arr, new,
                                         (layer_idx, idx, 0))
+
+
+def cp_masked_write_scales(s_arr: jax.Array, srows: jax.Array, layer_idx,
+                           pos, s_loc: int, axis: str) -> jax.Array:
+    """cp_masked_write for the (L, KH, S)-layout scale planes of an int8
+    cache: srows is (T, KH) (token-major, matching quantize_kv_rows); the
+    write lands at sequence offset `pos` of the owning shard."""
+    t = srows.shape[0]
+    r = jax.lax.axis_index(axis)
+    lp = pos - r * s_loc
+    ok = (lp >= 0) & (lp <= s_loc - t)
+    idx = jnp.clip(lp, 0, s_loc - t)
+    old = jax.lax.dynamic_slice(
+        s_arr, (layer_idx, 0, idx), (1, s_arr.shape[1], t))
+    new = jnp.where(ok, srows.T[None], old)
+    return jax.lax.dynamic_update_slice(s_arr, new, (layer_idx, 0, idx))
 
 
 def embed_tokens(params: TransformerParams, cfg: ModelConfig,
@@ -339,10 +358,10 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         v_row = v.reshape(t_q, kv_m)
 
     def _deq(att_vals, att_scales):
-        # (attn, KH*hd) int8 + (attn, KH) f32 -> (attn, KH, hd) float
+        # (attn, KH*hd) int8 + (KH, attn) f32 -> (attn, KH, hd) float
         a3 = att_vals.reshape(att_vals.shape[0], cfg.n_kv_heads,
                               cfg.cache_head_dim)
-        return a3.astype(jnp.float32) * att_scales[..., None]
+        return a3.astype(jnp.float32) * att_scales.T[..., None]
 
     if cfg.cp_axis is not None:
         if sp:
@@ -364,10 +383,10 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         v_cache = cp_masked_write(v_cache, v_row, layer_idx, pos, s_loc,
                                   cfg.cp_axis)
         if quant_kv:
-            k_s = cp_masked_write(k_s, k_srow, layer_idx, pos, s_loc,
-                                  cfg.cp_axis)
-            v_s = cp_masked_write(v_s, v_srow, layer_idx, pos, s_loc,
-                                  cfg.cp_axis)
+            k_s = cp_masked_write_scales(k_s, k_srow, layer_idx, pos,
+                                         s_loc, cfg.cp_axis)
+            v_s = cp_masked_write_scales(v_s, v_srow, layer_idx, pos,
+                                         s_loc, cfg.cp_axis)
         from lmrs_tpu.ops.attention import attention_cp
 
         k_att = jax.lax.dynamic_slice(
@@ -377,10 +396,10 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         if quant_kv:
             k_att = _deq(k_att, jax.lax.dynamic_slice(
                 k_s, (layer_idx, 0, 0),
-                (1, s_loc, cfg.n_kv_heads))[0])
+                (1, cfg.n_kv_heads, s_loc))[0])
             v_att = _deq(v_att, jax.lax.dynamic_slice(
                 v_s, (layer_idx, 0, 0),
-                (1, s_loc, cfg.n_kv_heads))[0])
+                (1, cfg.n_kv_heads, s_loc))[0])
         else:
             k_att = k_att.reshape(s_loc, cfg.n_kv_heads, cfg.cache_head_dim)
             v_att = v_att.reshape(s_loc, cfg.n_kv_heads, cfg.cache_head_dim)
@@ -399,9 +418,9 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
             v_cache, v_row[None].astype(v_cache.dtype), (layer_idx, pos, 0))
         if quant_kv:
             k_s = jax.lax.dynamic_update_slice(
-                k_s, k_srow[None], (layer_idx, pos, 0))
+                k_s, k_srow.T[None], (layer_idx, 0, pos))
             v_s = jax.lax.dynamic_update_slice(
-                v_s, v_srow[None], (layer_idx, pos, 0))
+                v_s, v_srow.T[None], (layer_idx, 0, pos))
 
         if _flash_eligible(cfg, t_q, attn_len):
             from lmrs_tpu.kernels.flash_attention import flash_decode_stacked
@@ -419,10 +438,10 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
             if quant_kv:
                 k_att = _deq(k_att, jax.lax.dynamic_slice(
                     k_s, (layer_idx, 0, 0),
-                    (1, attn_len, cfg.n_kv_heads))[0])
+                    (1, cfg.n_kv_heads, attn_len))[0])
                 v_att = _deq(v_att, jax.lax.dynamic_slice(
                     v_s, (layer_idx, 0, 0),
-                    (1, attn_len, cfg.n_kv_heads))[0])
+                    (1, cfg.n_kv_heads, attn_len))[0])
             else:
                 k_att = k_att.reshape(attn_len, cfg.n_kv_heads,
                                       cfg.cache_head_dim)
@@ -712,12 +731,13 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
             vc, jax.lax.dynamic_slice_in_dim(vd, i, 1, 0)[:, None, None],
             (i, layer_idx, pos[i], 0))
         if quant_kv:
+            # scale planes are (B, L, KH, S): one (1, 1, KH, 1) column
             ks = jax.lax.dynamic_update_slice(
                 ks, jax.lax.dynamic_slice_in_dim(k_srow, i, 1, 0)
-                [:, None, None], (i, layer_idx, pos[i], 0))
+                [:, None, :, None], (i, layer_idx, 0, pos[i]))
             vs = jax.lax.dynamic_update_slice(
                 vs, jax.lax.dynamic_slice_in_dim(v_srow, i, 1, 0)
-                [:, None, None], (i, layer_idx, pos[i], 0))
+                [:, None, :, None], (i, layer_idx, 0, pos[i]))
         return kc, vc, ks, vs
 
     k_c, v_c, k_s, v_s = jax.lax.fori_loop(0, b, _upd, (k_c, v_c, k_s, v_s))
@@ -739,11 +759,11 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         vl = vl.reshape(b, attn_len, cfg.n_kv_heads, cfg.cache_head_dim)
         if quant_kv:
             ksl = jax.lax.dynamic_slice_in_dim(k_s, layer_idx, 1, 1)[
-                :, 0, :attn_len]
+                :, 0, :, :attn_len]                       # (B, KH, attn)
             vsl = jax.lax.dynamic_slice_in_dim(v_s, layer_idx, 1, 1)[
-                :, 0, :attn_len]
-            kl = kl.astype(jnp.float32) * ksl[..., None]
-            vl = vl.astype(jnp.float32) * vsl[..., None]
+                :, 0, :, :attn_len]
+            kl = kl.astype(jnp.float32) * ksl.transpose(0, 2, 1)[..., None]
+            vl = vl.astype(jnp.float32) * vsl.transpose(0, 2, 1)[..., None]
         att = attention_batched(
             q, kl, vl, pos, scale=cfg.attn_scale,
             softcap=cfg.attn_logit_softcap, window=cfg.sliding_window,

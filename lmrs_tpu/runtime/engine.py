@@ -97,6 +97,15 @@ def _mesh_cache_spec(mesh):
     return P(None, "cp" if cp > 1 else None, "tp" if tp > 1 else None)
 
 
+def _mesh_scale_spec(mesh):
+    """int8-cache scale planes (L, KH, S): kv heads on tp, sequence on
+    cp (the transpose of the value layout — see KVCache)."""
+    from jax.sharding import PartitionSpec as P
+
+    tp, cp = _mesh_axes(mesh)
+    return P(None, "tp" if tp > 1 else None, "cp" if cp > 1 else None)
+
+
 def _make_mesh_fns(cfg: ModelConfig, mesh, param_spec,
                    quant_cache: bool = False):
     """Jitted (step, decode_chunk) programs whose bodies run under
@@ -118,7 +127,7 @@ def _make_mesh_fns(cfg: ModelConfig, mesh, param_spec,
     cfg_l = local_config(cfg, tp, "tp" if tp > 1 else None,
                          "cp" if cp > 1 else None, cp=cp)
     cache_p = _mesh_cache_spec(mesh)
-    scale_p = cache_p if quant_cache else None
+    scale_p = _mesh_scale_spec(mesh) if quant_cache else None
     cache_spec = KV(cache_p, cache_p, scale_p, scale_p)
     # with cp, attention always reads the full local sequence block;
     # the step's attn_len is unused there but must stay a valid static
@@ -318,8 +327,8 @@ class Engine:
         if (cache_dtype == jnp.int8 and mesh is not None):
             from jax.sharding import NamedSharding
 
-            # (L, S, KH) scales shard like the values: seq on cp, heads on tp
-            scale_sharding = NamedSharding(mesh, _mesh_cache_spec(mesh))
+            # (L, KH, S) scales: heads on tp, seq on cp
+            scale_sharding = NamedSharding(mesh, _mesh_scale_spec(mesh))
         self.cache = init_kv_cache(cfg, cache_dtype, sharding=cache_sharding,
                                    scale_sharding=scale_sharding)
         # known-token history by POSITION (-1 = unknown, e.g. multimodal
@@ -671,7 +680,8 @@ class Engine:
             sh = NamedSharding(self.mesh, _mesh_cache_spec(self.mesh))
             k, v = jax.device_put(k, sh), jax.device_put(v, sh)
             if ks is not None:
-                ks, vs = jax.device_put(ks, sh), jax.device_put(vs, sh)
+                ssh = NamedSharding(self.mesh, _mesh_scale_spec(self.mesh))
+                ks, vs = jax.device_put(ks, ssh), jax.device_put(vs, ssh)
         self.cache = KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
         self.pos = int(data["pos"])
 

@@ -123,15 +123,15 @@ def make_spec_chunk_mesh(cfg: ModelConfig, mesh, param_spec,
 
     from lmrs_tpu.models.transformer import KVCache as KV
     from lmrs_tpu.parallel.tp import local_config
-    from lmrs_tpu.runtime.engine import _mesh_axes, _mesh_cache_spec
+    from lmrs_tpu.runtime.engine import (_mesh_axes, _mesh_cache_spec,
+                                         _mesh_scale_spec)
 
     tp, cp = _mesh_axes(mesh)
     cfg_l = local_config(cfg, tp, "tp" if tp > 1 else None,
                          "cp" if cp > 1 else None, cp=cp)
     cache_p = _mesh_cache_spec(mesh)
-    cache_spec = KV(cache_p, cache_p,
-                    cache_p if quant_cache else None,
-                    cache_p if quant_cache else None)
+    scale_p = _mesh_scale_spec(mesh) if quant_cache else None
+    cache_spec = KV(cache_p, cache_p, scale_p, scale_p)
     inner = make_spec_chunk(cfg_l)
 
     @partial(jax.jit, static_argnames=("n_steps", "k", "attn_len"),

@@ -119,7 +119,8 @@ class BatchScheduler:
                  cfg.n_kv_heads * cfg.cache_head_dim)
         ks = vs = None
         if cache_dtype == jnp.int8:
-            sshape = shape[:-1] + (cfg.n_kv_heads,)
+            # scale planes are sequence-LAST (see models.transformer.KVCache)
+            sshape = shape[:2] + (cfg.n_kv_heads, shape[2])
             ks = jnp.zeros(sshape, jnp.float32)
             vs = jnp.zeros(sshape, jnp.float32)
         self.cache = KVCache(k=jnp.zeros(shape, cache_dtype),
@@ -160,16 +161,20 @@ class BatchScheduler:
             """Copy rows [0, n_rows) of slot src's cache into slot dst
             (one masked whole-slot pass, O(1) program size; n_rows is a
             traced scalar so one compile serves every prefix length)."""
-            def cp(a):
+            def cp(a, seq_axis):
+                # seq_axis indexes the SLICED (slot-local) array: 1 for the
+                # (L, S, kv_m) value planes, 2 for (L, KH, S) scale planes
                 if a is None:
                     return None
                 srow = jax.lax.dynamic_slice_in_dim(a, src, 1, 0)[0]
                 drow = jax.lax.dynamic_slice_in_dim(a, dst, 1, 0)[0]
-                mask = (jnp.arange(a.shape[2]) < n_rows)[None, :, None]
+                shp = [1, 1, 1]
+                shp[seq_axis] = srow.shape[seq_axis]
+                mask = (jnp.arange(srow.shape[seq_axis]) < n_rows)                     .reshape(shp)
                 return jax.lax.dynamic_update_slice_in_dim(
                     a, jnp.where(mask, srow, drow)[None], dst, 0)
-            return KVCache(cp(cache.k), cp(cache.v),
-                           cp(cache.k_scale), cp(cache.v_scale))
+            return KVCache(cp(cache.k, 1), cp(cache.v, 1),
+                           cp(cache.k_scale, 2), cp(cache.v_scale, 2))
 
         self._copy_prefix = _copy_prefix
 

@@ -62,9 +62,10 @@ def main():
             print(f"stacked {label}: compile+run {t1 - t0:.1f}s "
                   f"finite={bool(jnp.isfinite(out).all())}", flush=True)
 
-    # int8 cache path
+    # int8 cache path (scale planes are sequence-last: (L, KH, S))
     kq, ks = jax.vmap(quantize_kv_rows)(k)
     vq, vs = jax.vmap(quantize_kv_rows)(v)
+    ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
     t0 = time.time()
     out = jax.jit(lambda q, kq, vq, ks, vs: flash_decode_stacked(
         q, kq, vq, jnp.int32(1), jnp.int32(pos), n_kv=KH, attn_len=S,

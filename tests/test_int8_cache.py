@@ -50,12 +50,13 @@ def test_quantize_kv_rows_zero_row():
 # ------------------------------------------------- flash kernels (fused)
 
 def _quantize_cache(k4, v4):
-    """(L, S, KH, hd) float -> int8 3D cache + (L, S, KH) scales."""
+    """(L, S, KH, hd) float -> int8 3D cache + (L, KH, S) scales
+    (sequence-LAST scale planes, see models.transformer.KVCache)."""
     L, S, KH, HD = k4.shape
 
     def q(a):
         vals, scales = jax.vmap(quantize_kv_rows)(a)  # over L
-        return vals, scales
+        return vals, scales.transpose(0, 2, 1)        # (L, KH, S)
 
     kq, ks = q(k4)
     vq, vs = q(v4)
@@ -75,9 +76,9 @@ def test_flash_stacked_quantized_matches_dequantized(t_q, softcap, window):
     v4 = jnp.asarray(rng.standard_normal((L, S, KH, HD), dtype=np.float32))
     kq, vq, ks, vs = _quantize_cache(k4, v4)
     k_deq = (kq.astype(jnp.float32).reshape(L, S, KH, HD)
-             * ks[..., None]).astype(jnp.bfloat16)
+             * ks.transpose(0, 2, 1)[..., None]).astype(jnp.bfloat16)
     v_deq = (vq.astype(jnp.float32).reshape(L, S, KH, HD)
-             * vs[..., None]).astype(jnp.bfloat16)
+             * vs.transpose(0, 2, 1)[..., None]).astype(jnp.bfloat16)
     scale = 1.0 / np.sqrt(HD)
 
     for layer in [0, 1]:
@@ -112,9 +113,9 @@ def test_flash_batched_quantized_matches_per_slot():
         s_blk=256, interpret=True, k_scale=ks, v_scale=vs)
     for b in range(B):
         k_deq = (kq[b, layer].astype(jnp.float32).reshape(S, KH, HD)
-                 * ks[b, layer][..., None]).astype(jnp.bfloat16)
+                 * ks[b, layer].T[..., None]).astype(jnp.bfloat16)
         v_deq = (vq[b, layer].astype(jnp.float32).reshape(S, KH, HD)
-                 * vs[b, layer][..., None]).astype(jnp.bfloat16)
+                 * vs[b, layer].T[..., None]).astype(jnp.bfloat16)
         ref = attention(q[b][None], k_deq, v_deq, pos[b], scale=scale,
                         precision="fast")
         np.testing.assert_allclose(np.asarray(out[b]), np.asarray(ref[0]),
