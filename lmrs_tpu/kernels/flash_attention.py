@@ -109,7 +109,10 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
 
         for h in range(kh):
             q_h = q_ref[h]                                  # (GT, hd) bf16
-            k_h = k_ref[0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
+            k_h = k_ref[0][:, h * hd:(h + 1) * hd]
+            if quantized:
+                k_h = k_h.astype(jnp.float32)  # int8->f32: known-good lowering
+            k_h = k_h.astype(jnp.bfloat16)
             s = jax.lax.dot_general(
                 q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # (GT, s_blk)
@@ -125,7 +128,10 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
             alpha = jnp.exp(m_old - m_new)
             p = jnp.exp(s - m_new[:, None])                 # (GT, s_blk)
             l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
-            v_h = v_ref[0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
+            v_h = v_ref[0][:, h * hd:(h + 1) * hd]
+            if quantized:
+                v_h = v_h.astype(jnp.float32)
+            v_h = v_h.astype(jnp.bfloat16)
             pw = p * vs_ref[0][h][None, :] if quantized else p
             pv = jax.lax.dot_general(
                 pw.astype(jnp.bfloat16), v_h,
@@ -303,7 +309,10 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
 
         for h in range(kh):
             q_h = q_ref[0, h]
-            k_h = k_ref[0, 0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
+            k_h = k_ref[0, 0][:, h * hd:(h + 1) * hd]
+            if quantized:
+                k_h = k_h.astype(jnp.float32)
+            k_h = k_h.astype(jnp.bfloat16)
             s = jax.lax.dot_general(
                 q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
@@ -318,7 +327,10 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
             alpha = jnp.exp(m_old - m_new)
             p = jnp.exp(s - m_new[:, None])
             l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
-            v_h = v_ref[0, 0][:, h * hd:(h + 1) * hd].astype(jnp.bfloat16)
+            v_h = v_ref[0, 0][:, h * hd:(h + 1) * hd]
+            if quantized:
+                v_h = v_h.astype(jnp.float32)
+            v_h = v_h.astype(jnp.bfloat16)
             pw = p * vs_ref[0, 0][h][None, :] if quantized else p
             pv = jax.lax.dot_general(
                 pw.astype(jnp.bfloat16), v_h,
