@@ -112,11 +112,15 @@ def main():
     # no per-layer copies); "unrolled" = per-layer call sites (round-1 style);
     # "stacked" = stacked exact/XLA path
     layout = os.environ.get("LMRS_BENCH_LAYOUT", "scan")
-    params = params_from_lmrs(f, stack_layers=(layout != "unrolled"),
-                              fuse_qkv=(layout in ("unrolled", "scan")),
-                              fuse_ffn=fuse_ffn, q4_as_int8=q4_int8)
-    jax.block_until_ready(jax.tree_util.tree_leaves(params))
-    log(f"load+transfer: {time.time() - t0:.1f}s")
+    params = None
+    if tp == 1 and cp == 1:
+        # multi-chip runs assemble SHARDED params inside make_mesh_engine;
+        # loading a replicated copy first would double the model-load work
+        params = params_from_lmrs(f, stack_layers=(layout != "unrolled"),
+                                  fuse_qkv=(layout in ("unrolled", "scan")),
+                                  fuse_ffn=fuse_ffn, q4_as_int8=q4_int8)
+        jax.block_until_ready(jax.tree_util.tree_leaves(params))
+        log(f"load+transfer: {time.time() - t0:.1f}s")
 
     batch = int(os.environ.get("LMRS_BENCH_BATCH", "0"))
     if batch > 0:

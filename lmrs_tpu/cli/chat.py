@@ -114,8 +114,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     if cfg.quant.value:
         print(f"Using {cfg.quant.name} quantization.")
     print("Loading weights...")
-    cache_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
-                   "int8": jnp.int8}[args.cache_dtype]
+    from lmrs_tpu.runtime.engine import CACHE_DTYPES
+    cache_dtype = CACHE_DTYPES[args.cache_dtype]
     if args.tp > 1 or args.cp > 1:
         # multi-chip serving: the same Engine API over a (tp[, cp]) mesh
         from lmrs_tpu.parallel.tp import make_mesh_engine

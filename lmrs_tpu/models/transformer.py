@@ -190,6 +190,11 @@ def _flash_eligible(cfg: ModelConfig, t_q: int, attn_len: int) -> bool:
         return False
     if cfg.cp_axis is not None:
         return False
+    if attn_len % min(512, attn_len) != 0:
+        # the kernel's block plan needs attn_len % s_blk == 0 with
+        # s_blk = min(512, attn_len); ragged user --seq-len values keep
+        # the XLA path (pow-2 buckets below 512 are always aligned)
+        return False
     min_bucket = int(os.environ.get("LMRS_FLASH_MIN_BUCKET", "8192"))
     return attn_len >= min_bucket
 

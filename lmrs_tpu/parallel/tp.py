@@ -378,15 +378,11 @@ def init_tp_cache(cfg: ModelConfig, mesh: Mesh, dtype=jnp.bfloat16,
 # ---------------------------------------------------------------------------
 
 def _local(qt: QTensor) -> QTensor:
-    """Rebuild QTensor metadata from the local array shapes."""
-    if qt is None:
-        return None
-    o = qt.q.shape[0]
-    if qt.qtype == QuantType.Q4_0:
-        i = qt.q.shape[1] * 2
-    else:
-        i = qt.q.shape[1]
-    return QTensor(qt.q, qt.s, qt.qtype, qt.group_size, o, i)
+    """Rebuild QTensor metadata from the local array shapes (shared
+    implementation: models.transformer._localize)."""
+    from lmrs_tpu.models.transformer import _localize
+
+    return _localize(qt)
 
 
 def _embed_tp(params: TransformerParams, cfg: ModelConfig, tp: int,

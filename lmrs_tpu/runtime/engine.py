@@ -345,7 +345,7 @@ class Engine:
 
     def warmup(self, max_pos: Optional[int] = None,
                temperature: float = 0.0, top_p: float = 0.9,
-               prompt_len: int = 0):
+               prompt_len: int = 0, spec_k: int = 0):
         """Precompile the prefill and decode-chunk programs for every
         attention-length bucket up to `max_pos` (default: full context), so
         no conversation hits a mid-stream compile stall.  Restores pos=0.
@@ -374,6 +374,17 @@ class Engine:
                         self.params, self.cache, jnp.int32(0), jnp.int32(0),
                         key, n_steps=self.decode_chunk, attn_len=b,
                         temperature=temperature, top_p=top_p)
+                if (spec_k > 0 and self._cp == 1
+                        and b >= first_decode_bucket
+                        and self.decode_chunk * (spec_k + 1) + 2 <= b):
+                    # precompile the speculative chunk program too — a
+                    # mid-conversation compile through the remote tunnel
+                    # is exactly the stall warmup exists to prevent
+                    spec = self._spec_fn(spec_k)
+                    h = jnp.zeros((self.cfg.seq_len,), jnp.int32)
+                    _, _, self.cache, h, _, _ = spec(
+                        self.params, self.cache, h, jnp.int32(1),
+                        n_steps=self.decode_chunk, k=spec_k, attn_len=b)
             if b >= limit:
                 break
             b = self._attn_bucket(b + 1)
@@ -386,10 +397,15 @@ class Engine:
         # kernel's live-block clamp already makes attention reads O(pos),
         # so extra pow-2 rungs past the flash threshold only buy compile
         # time (minutes per rung through the remote-compile tunnel) and
-        # mid-conversation bucket-crossing stalls.
+        # mid-conversation bucket-crossing stalls.  The collapse must hold
+        # for EVERY call site that will run at this bucket — including
+        # prefill chunks (t_q = prefill_chunk) and the full-seq_len
+        # program itself (a non-512-multiple --seq-len can't run flash).
         from lmrs_tpu.models.transformer import _flash_eligible
 
-        if _flash_eligible(self.cfg, 1, b):
+        if (_flash_eligible(self.cfg, 1, b)
+                and _flash_eligible(self.cfg, self.prefill_chunk,
+                                    self.cfg.seq_len)):
             return self.cfg.seq_len
         return b
 
@@ -499,7 +515,12 @@ class Engine:
         if on_token is not None:
             on_token(tok)
 
-        if gen.speculative_k > 0 and gen.temperature == 0.0:
+        # speculation requires aligned multi-row cache writes; on cp
+        # meshes the verify window can straddle a sequence-shard boundary
+        # (cp_masked_write silently drops such writes), so cp keeps the
+        # plain chunked path
+        if (gen.speculative_k > 0 and gen.temperature == 0.0
+                and self._cp == 1):
             self._generate_speculative(gen, stop, out, on_token)
             self.metrics.decode_tokens += len(out)
             self.metrics.decode_seconds += time.perf_counter() - t_decode0
@@ -589,6 +610,17 @@ class Engine:
                 on_token(int(t))
         return hit_stop or len(out) >= gen.max_new_tokens
 
+    def _spec_fn(self, k: int):
+        """The speculative-chunk program for this engine's topology."""
+        from lmrs_tpu.runtime.speculative import (make_spec_chunk,
+                                                  make_spec_chunk_mesh)
+
+        if self.mesh is not None:
+            return make_spec_chunk_mesh(self.cfg, self.mesh,
+                                        self._param_spec,
+                                        self.cache_dtype == jnp.int8)
+        return make_spec_chunk(self.cfg)
+
     def _generate_speculative(self, gen: GenerationConfig, stop,
                               out: List[int], on_token) -> None:
         """Prompt-lookup speculative decode loop (greedy; see
@@ -597,16 +629,8 @@ class Engine:
         chunk runs n_steps lookup→verify(T=k+1)→accept steps and returns
         a variable token count.  One host sync per chunk (the count
         gates the loop), so chunks are sized like decode_chunk."""
-        from lmrs_tpu.runtime.speculative import (make_spec_chunk,
-                                                   make_spec_chunk_mesh)
-
         k = gen.speculative_k
-        if self.mesh is not None:
-            spec = make_spec_chunk_mesh(self.cfg, self.mesh,
-                                        self._param_spec,
-                                        self.cache_dtype == jnp.int8)
-        else:
-            spec = make_spec_chunk(self.cfg)
+        spec = self._spec_fn(k)
         h = jnp.asarray(self._hist)
         stopped = out[-1] in stop if out else False
         while not stopped and len(out) < gen.max_new_tokens:

@@ -267,8 +267,12 @@ class BatchScheduler:
             raise ValueError(
                 f"image prefix of {embeds.shape[0]} embeddings at pos "
                 f"{slot.pos} exceeds max context {self.S}")
+        pos0 = slot.pos
         slot.pos = self._run_prefill(lease.slot_idx, embeds,
                                      slot.pos, want_logits=False)[1]
+        # keep list index == row position (a previous turn's final token
+        # at index pos0 was never cached and is overwritten by the embeds)
+        del slot.tokens[pos0:]
         slot.tokens.extend([-1] * embeds.shape[0])  # rows with no token
 
     @property
@@ -290,7 +294,8 @@ class BatchScheduler:
         # see Engine._attn_bucket)
         from lmrs_tpu.models.transformer import _flash_eligible
 
-        if _flash_eligible(self.cfg, 1, b):
+        if (_flash_eligible(self.cfg, 1, b)
+                and _flash_eligible(self.cfg, self.prefill_chunk, self.S)):
             return self.S
         return b
 

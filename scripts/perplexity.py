@@ -154,8 +154,8 @@ def main():
                          "quantized-cache accuracy cost in nll")
     args = ap.parse_args()
 
-    cache_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-                   "int8": jnp.int8}[args.cache_dtype]
+    from lmrs_tpu.runtime.engine import CACHE_DTYPES
+    cache_dtype = CACHE_DTYPES[args.cache_dtype]
     if args.compare:
         _compare(args.compare, args.n_tokens, args.gs, args.seed, args.impl,
                  cache_dtype=cache_dtype)

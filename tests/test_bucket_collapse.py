@@ -67,3 +67,37 @@ def test_bucket_collapse_token_parity(monkeypatch):
     _fresh_compile_caches()
 
     assert out == ref
+
+
+def test_ragged_seq_len_keeps_xla_path(monkeypatch):
+    """A user --seq-len that isn't a 512 multiple must not collapse onto a
+    flash program (the kernel's block plan asserts attn_len % 512 == 0) —
+    generation must run, on the XLA path, without tripping the assert."""
+    monkeypatch.setenv("LMRS_FLASH_MIN_BUCKET", "512")
+    from lmrs_tpu.models.transformer import _flash_eligible
+
+    cfg, params = _mk_model()
+    cfg = cfg.replace(seq_len=576 + 64)  # 640: % 512 != 0
+    assert not _flash_eligible(cfg, 1, cfg.seq_len)
+    eng = Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=64,
+                 prefill_chunk=8, decode_chunk=4)
+    # the top rung may legitimately clamp to the ragged seq_len — what
+    # matters is that it runs the XLA path (no flash block-plan assert)
+    out = eng.generate([3, 1, 4], GenerationConfig(temperature=0.0,
+                                                   max_new_tokens=8))
+    assert len(out) == 8
+
+
+def test_large_prefill_chunk_disables_collapse(monkeypatch):
+    """prefill_chunk > the kernel's 256-row limit would fall back to the
+    XLA einsum over the whole collapsed bucket — the collapse must not
+    fire for such engines."""
+    monkeypatch.setenv("LMRS_FLASH_MIN_BUCKET", "512")
+    cfg, params = _mk_model()
+    cfg = cfg.replace(seq_len=2048)
+    big = Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=64,
+                 prefill_chunk=512, decode_chunk=4)
+    small = Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=64,
+                   prefill_chunk=128, decode_chunk=4)
+    assert big._attn_bucket(600) == 1024        # no collapse: plain pow-2
+    assert small._attn_bucket(600) == 2048      # collapsed onto seq_len

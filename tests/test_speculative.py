@@ -160,3 +160,50 @@ def test_speculative_mesh_engine_parity():
                                                 speculative_k=3))
     assert got == want
     assert eng.metrics.spec_proposed > 0
+
+
+def test_speculative_cp_mesh_falls_back_to_plain(monkeypatch):
+    """On cp meshes the verify window can straddle a sequence-shard
+    boundary, where cp_masked_write silently drops multi-row writes — the
+    engine must keep the plain chunked path (and stay token-correct)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from lmrs_tpu.io.synthetic import random_weights
+
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, dim=64,
+                      hidden_dim=128, n_layers=2, n_heads=8, head_dim=16,
+                      n_kv_heads=4, vocab_size=512, seq_len=128,
+                      group_size=16, matmul_impl="fast")
+    weights = random_weights(cfg, seed=7)
+    from lmrs_tpu.io.params import params_from_weights
+    from lmrs_tpu.parallel.tp import replicate_params
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("cp",))
+    p, spec = replicate_params(
+        params_from_weights(cfg, weights, stack_layers=True, fuse_qkv=True),
+        mesh)
+    eng = Engine(cfg, p, cache_dtype=jnp.float32, prefill_chunk=8,
+                 decode_chunk=4, mesh=mesh, param_spec=spec)
+    # enough tokens to cross the 64-row shard boundary
+    want = eng.generate([3, 9, 4], GenerationConfig(temperature=0.0,
+                                                    max_new_tokens=70))
+    eng.reset()
+    got = eng.generate([3, 9, 4], GenerationConfig(temperature=0.0,
+                                                   max_new_tokens=70,
+                                                   speculative_k=4))
+    assert got == want
+    assert eng.metrics.spec_proposed == 0  # plain path used
+
+
+def test_warmup_precompiles_spec_program():
+    """warmup(spec_k=K) must compile the speculative chunk so the first
+    spec generate hits no new program (checked via the jit cache size)."""
+    cfg, params = _make()
+    eng = _engine(cfg, params)
+    eng.warmup(max_pos=256, prompt_len=8, spec_k=4)
+    spec = eng._spec_fn(4)
+    n_before = spec._cache_size()
+    out = eng.generate(PROMPTS[0], GenerationConfig(
+        temperature=0.0, max_new_tokens=24, speculative_k=4))
+    assert len(out) == 24
+    assert spec._cache_size() == n_before, "spec generate recompiled"
