@@ -677,10 +677,14 @@ def forward(
 def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
                    k_c: jax.Array, v_c: jax.Array, layer_idx,
                    cos: jax.Array, sin: jax.Array, pos: jax.Array,
-                   attn_len: int, stacked_idx=None, k_s=None, v_s=None):
+                   attn_len: int, stacked_idx=None, k_s=None, v_s=None,
+                   t_q: int = 1):
     """One decoder layer over a BATCH of single-token slots.
 
-    x (B, D); cache (B, L, S, KH*hd); pos (B,).  Program size is O(1) in
+    x (B, D); cache (B, L, S, KH*hd); pos (B,).  With t_q > 1 (the batched
+    speculative verify) x is (B*t_q, D) row-flattened, cos/sin are per
+    row, and each slot writes/attends a t_q-token window starting at its
+    own pos.  Program size is O(1) in
     B: the cache update is a fori_loop of single-slice DUS ops (a vmapped
     DUS with per-slot positions lowers to scatter, which copies the
     multi-GB batched cache every step), and attention is one per-slot-
@@ -719,35 +723,42 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
 
     kv_m = cfg.n_kv_heads * cfg.cache_head_dim
     quant_kv = k_c.dtype == jnp.int8
+    n_slots = b // t_q
     if quant_kv:
-        kd, k_srow = quantize_kv_rows(k)        # (B, kv_m) int8, (B, KH)
+        kd, k_srow = quantize_kv_rows(k)        # (B*T, kv_m), (B*T, KH)
         vd, v_srow = quantize_kv_rows(v)
+        # (n_slots, KH, t_q) transposed slabs for the seq-last scale planes
+        k_s3 = k_srow.reshape(n_slots, t_q, -1).transpose(0, 2, 1)
+        v_s3 = v_srow.reshape(n_slots, t_q, -1).transpose(0, 2, 1)
     else:
         kd = k.reshape(b, kv_m).astype(k_c.dtype)
         vd = v.reshape(b, kv_m).astype(v_c.dtype)
-        k_srow = v_srow = None
+        k_s3 = v_s3 = None
+    kd3 = kd.reshape(n_slots, t_q, kv_m)
+    vd3 = vd.reshape(n_slots, t_q, kv_m)
 
     def _upd(i, kv):
         kc, vc, ks, vs = kv
         kc = jax.lax.dynamic_update_slice(
-            kc, jax.lax.dynamic_slice_in_dim(kd, i, 1, 0)[:, None, None],
+            kc, jax.lax.dynamic_slice_in_dim(kd3, i, 1, 0)[:, None],
             (i, layer_idx, pos[i], 0))
         vc = jax.lax.dynamic_update_slice(
-            vc, jax.lax.dynamic_slice_in_dim(vd, i, 1, 0)[:, None, None],
+            vc, jax.lax.dynamic_slice_in_dim(vd3, i, 1, 0)[:, None],
             (i, layer_idx, pos[i], 0))
         if quant_kv:
-            # scale planes are (B, L, KH, S): one (1, 1, KH, 1) column
+            # scale planes are (B, L, KH, S): a (1, 1, KH, t_q) slab
             ks = jax.lax.dynamic_update_slice(
-                ks, jax.lax.dynamic_slice_in_dim(k_srow, i, 1, 0)
-                [:, None, :, None], (i, layer_idx, 0, pos[i]))
+                ks, jax.lax.dynamic_slice_in_dim(k_s3, i, 1, 0)[:, None],
+                (i, layer_idx, 0, pos[i]))
             vs = jax.lax.dynamic_update_slice(
-                vs, jax.lax.dynamic_slice_in_dim(v_srow, i, 1, 0)
-                [:, None, :, None], (i, layer_idx, 0, pos[i]))
+                vs, jax.lax.dynamic_slice_in_dim(v_s3, i, 1, 0)[:, None],
+                (i, layer_idx, 0, pos[i]))
         return kc, vc, ks, vs
 
-    k_c, v_c, k_s, v_s = jax.lax.fori_loop(0, b, _upd, (k_c, v_c, k_s, v_s))
+    k_c, v_c, k_s, v_s = jax.lax.fori_loop(0, n_slots, _upd,
+                                           (k_c, v_c, k_s, v_s))
 
-    if _flash_eligible(cfg, 1, attn_len):
+    if t_q == 1 and _flash_eligible(cfg, 1, attn_len):
         from lmrs_tpu.kernels.flash_attention import flash_decode_batched
 
         att = flash_decode_batched(
@@ -760,8 +771,10 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
                                                                 :attn_len]
         vl = jax.lax.dynamic_slice_in_dim(v_c, layer_idx, 1, 1)[:, 0,
                                                                 :attn_len]
-        kl = kl.reshape(b, attn_len, cfg.n_kv_heads, cfg.cache_head_dim)
-        vl = vl.reshape(b, attn_len, cfg.n_kv_heads, cfg.cache_head_dim)
+        kl = kl.reshape(n_slots, attn_len, cfg.n_kv_heads,
+                        cfg.cache_head_dim)
+        vl = vl.reshape(n_slots, attn_len, cfg.n_kv_heads,
+                        cfg.cache_head_dim)
         if quant_kv:
             ksl = jax.lax.dynamic_slice_in_dim(k_s, layer_idx, 1, 1)[
                 :, 0, :, :attn_len]                       # (B, KH, attn)
@@ -769,10 +782,22 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
                 :, 0, :, :attn_len]
             kl = kl.astype(jnp.float32) * ksl.transpose(0, 2, 1)[..., None]
             vl = vl.astype(jnp.float32) * vsl.transpose(0, 2, 1)[..., None]
-        att = attention_batched(
-            q, kl, vl, pos, scale=cfg.attn_scale,
-            softcap=cfg.attn_logit_softcap, window=cfg.sliding_window,
-            precision="fast" if cfg.matmul_impl == "fast" else "highest")
+        if t_q == 1:
+            att = attention_batched(
+                q, kl, vl, pos, scale=cfg.attn_scale,
+                softcap=cfg.attn_logit_softcap, window=cfg.sliding_window,
+                precision="fast" if cfg.matmul_impl == "fast"
+                else "highest")
+        else:
+            from lmrs_tpu.ops.attention import attention_batched_multi
+
+            att = attention_batched_multi(
+                q.reshape(n_slots, t_q, cfg.n_heads, cfg.cache_head_dim),
+                kl, vl, pos, scale=cfg.attn_scale,
+                softcap=cfg.attn_logit_softcap, window=cfg.sliding_window,
+                precision="fast" if cfg.matmul_impl == "fast"
+                else "highest")
+            att = att.reshape(b, cfg.n_heads, cfg.cache_head_dim)
     if hd_pad:
         att = att[..., : cfg.head_dim]
 
@@ -823,7 +848,8 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
 
 
 @lru_cache(maxsize=None)
-def _batched_fast_body(cfg: ModelConfig, attn_len: int, b: int):
+def _batched_fast_body(cfg: ModelConfig, attn_len: int, b: int,
+                       t_q: int = 1):
     """Stable scan body for the batched scan-fast decode (see
     _scan_fast_body for why the traced values travel in the carry)."""
 
@@ -837,19 +863,20 @@ def _batched_fast_body(cfg: ModelConfig, attn_len: int, b: int):
             w13=layers.w13)
         h, k_c, v_c, k_s, v_s = _layer_batched(
             cfg, h, lw, k_c, v_c, l, cos, sin, pos, attn_len,
-            stacked_idx=l, k_s=k_s, v_s=v_s)
+            stacked_idx=l, k_s=k_s, v_s=v_s, t_q=t_q)
         return (h, k_c, v_c, k_s, v_s, l + 1, layers, cos, sin, pos), None
 
     return body
 
 
 @lru_cache(maxsize=None)
-def _batched_exact_body(cfg: ModelConfig, attn_len: int, b: int):
+def _batched_exact_body(cfg: ModelConfig, attn_len: int, b: int,
+                        t_q: int = 1):
     def body(carry, lw):
         h, k_c, v_c, k_s, v_s, l, cos, sin, pos = carry
         h, k_c, v_c, k_s, v_s = _layer_batched(
             cfg, h, lw, k_c, v_c, l, cos, sin, pos, attn_len,
-            k_s=k_s, v_s=v_s)
+            k_s=k_s, v_s=v_s, t_q=t_q)
         return (h, k_c, v_c, k_s, v_s, l + 1, cos, sin, pos), None
 
     return body
@@ -859,9 +886,10 @@ def forward_batched(
     params: TransformerParams,
     cfg: ModelConfig,
     cache: KVCache,          # arrays shaped (B, L, S, KH*head_dim)
-    x: jax.Array,            # (B, D) — one decode token per slot
+    x: jax.Array,            # (B*t_q, D) — t_q tokens per slot, flattened
     pos: jax.Array,          # (B,) int32 — per-slot absolute positions
     attn_len: int,           # static cache prefix length (shared bucket)
+    t_q: int = 1,            # tokens per slot (speculative verify: k+1)
 ) -> Tuple[jax.Array, KVCache]:
     """One decode step for a BATCH of independent sequences.
 
@@ -875,10 +903,15 @@ def forward_batched(
     entirely (it instantiates a whole model per connection,
     reference: src/bin/backend.rs:88-110).
 
-    Returns (logits (B, V) f32, updated cache).
+    Returns (logits (B*t_q, V) f32, updated cache).
     """
-    cos = params.rope_cos[pos]            # (B, hd/2)
-    sin = params.rope_sin[pos]
+    if t_q == 1:
+        positions = pos
+    else:
+        positions = (pos[:, None]
+                     + jnp.arange(t_q, dtype=jnp.int32)[None, :]).reshape(-1)
+    cos = params.rope_cos[positions]      # (B*t_q, hd/2)
+    sin = params.rope_sin[positions]
 
     layers = params.layers
     k_c, v_c = cache.k, cache.v
@@ -887,7 +920,7 @@ def forward_batched(
         for l, lw in enumerate(layers):
             x, k_c, v_c, k_s, v_s = _layer_batched(
                 cfg, x, lw, k_c, v_c, l, cos, sin, pos, attn_len,
-                k_s=k_s, v_s=v_s)
+                k_s=k_s, v_s=v_s, t_q=t_q)
     elif (cfg.matmul_impl == "fast" and layers.wqkv is not None
           and layers.wqkv.q.ndim == 3):
         # scan-fast: stacked kernels select the layer via scalar prefetch
@@ -895,12 +928,12 @@ def forward_batched(
         norm_xs = (layers.att_norm, layers.post_att_norm,
                    layers.pre_ffn_norm, layers.post_ffn_norm)
         (x, k_c, v_c, k_s, v_s, _, _, _, _, _), _ = jax.lax.scan(
-            _batched_fast_body(cfg, attn_len, x.shape[0]),
+            _batched_fast_body(cfg, attn_len, x.shape[0], t_q),
             (x, k_c, v_c, k_s, v_s, jnp.int32(0), layers, cos, sin, pos),
             norm_xs)
     else:
         (x, k_c, v_c, k_s, v_s, _, _, _, _), _ = jax.lax.scan(
-            _batched_exact_body(cfg, attn_len, x.shape[0]),
+            _batched_exact_body(cfg, attn_len, x.shape[0], t_q),
             (x, k_c, v_c, k_s, v_s, jnp.int32(0), cos, sin, pos), layers)
 
     new_cache = KVCache(k=k_c, v=v_c, k_scale=k_s, v_scale=v_s)

@@ -140,6 +140,56 @@ def attention_batched(
     return out.reshape(b, n_heads, head_dim).astype(jnp.float32)
 
 
+def attention_batched_multi(
+    q: jnp.ndarray,          # (B, T, H, head_dim) — T tokens per slot
+    k_cache: jnp.ndarray,    # (B, S, KH, head_dim)
+    v_cache: jnp.ndarray,
+    pos: jnp.ndarray,        # (B,) int32 — position of each slot's q[:, 0]
+    *,
+    scale: float,
+    softcap: Optional[float] = None,
+    window: Optional[int] = None,
+    precision: str = "fast",
+) -> jnp.ndarray:
+    """attention_batched for T>1 query tokens per slot (the batched
+    speculative-verify step): per-slot causal masking at q_pos = pos + t.
+    Returns (B, T, H, hd)."""
+    b, t_q, n_heads, head_dim = q.shape
+    _, s_len, n_kv, _ = k_cache.shape
+    kv_group = n_heads // n_kv
+    fast = precision == "fast"
+    in_dtype = jnp.bfloat16 if fast else jnp.float32
+    prec = None if fast else jax.lax.Precision.HIGHEST
+
+    qg = q.astype(in_dtype).reshape(b, t_q, n_kv, kv_group, head_dim)
+    k_in = k_cache.astype(in_dtype)
+    v_in = v_cache.astype(in_dtype)
+
+    scores = jnp.einsum("btkgd,bskd->btkgs", qg, k_in,
+                        preferred_element_type=jnp.float32,
+                        precision=prec).astype(jnp.float32) * scale
+    if softcap is not None:
+        scores = jnp.tanh(scores / softcap) * softcap
+
+    t_idx = jnp.arange(s_len, dtype=jnp.int32)[None, None, :]     # (1,1,S)
+    q_pos = (pos[:, None] + jnp.arange(t_q, dtype=jnp.int32)[None, :]
+             )[..., None]                                         # (B,T,1)
+    if window is not None:
+        win_mask = jnp.where(q_pos - t_idx <= window, 0.0, _WINDOW_NEG)
+        scores = scores + win_mask[:, :, None, None, :]
+    causal = t_idx <= q_pos                                       # (B,T,S)
+    scores = jnp.where(causal[:, :, None, None, :], scores, _MASK_NEG)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    att = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    out = jnp.einsum("btkgs,bskd->btkgd", att.astype(in_dtype), v_in,
+                     preferred_element_type=jnp.float32,
+                     precision=prec)
+    return out.reshape(b, t_q, n_heads, head_dim).astype(jnp.float32)
+
+
 def attention_cp(
     q: jnp.ndarray,          # (T, H, head_dim) — replicated across cp
     k_local: jnp.ndarray,    # (S/cp, KH, head_dim) — this shard's cache rows

@@ -95,10 +95,12 @@ class BackendServer:
             self.params = params_from_lmrs(self.file, fuse_qkv=fuse)
         self.cache_dtype = CACHE_DTYPES[cache_dtype]
         self.temperature = temperature
-        # speculative decoding serves greedy single-engine connections
-        # (the batched scheduler and sampled streams keep the plain path)
-        self.spec_k = spec_k if (temperature == 0.0 and batch == 0
-                                 and tp == 1 and cp == 1) else 0
+        # speculative decoding: single-engine mode needs a greedy server
+        # temperature; the batched scheduler gates greedy PER SLOT inside
+        # the chunk, so it takes spec_k unconditionally.  cp meshes keep
+        # the plain path (see Engine._generate_speculative).
+        self.spec_k = spec_k if (batch > 0 or (temperature == 0.0
+                                               and cp == 1)) else 0
         self.top_p = top_p
         self.seed = seed
         self.num_crops = num_crops
@@ -119,7 +121,8 @@ class BackendServer:
                 self.cfg, self.params, max_batch=batch,
                 max_ctx=max_ctx, cache_dtype=self.cache_dtype,
                 temperature=temperature, top_p=top_p,
-                seed=seed if seed is not None else 0)
+                seed=seed if seed is not None else 0,
+                speculative_k=self.spec_k)
             self.scheduler = SchedulerThread(sched)
 
     def _new_engine(self):

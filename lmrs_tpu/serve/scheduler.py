@@ -98,7 +98,8 @@ class BatchScheduler:
                  cache_dtype=jnp.bfloat16, prefill_chunk: int = 64,
                  decode_chunk: int = 8, min_attn_bucket: int = 256,
                  temperature: float = 0.0, top_p: float = 0.9,
-                 seed: int = 0, prefix_cache_min: int = 32):
+                 seed: int = 0, prefix_cache_min: int = 32,
+                 speculative_k: int = 0):
         self.cfg = cfg
         self.params = params
         self.B = max_batch
@@ -108,13 +109,20 @@ class BatchScheduler:
         self.min_attn_bucket = min(min_attn_bucket, self.S)
         self.temperature = temperature
         self.top_p = top_p
+        # prompt-lookup speculative decoding for the batched step (greedy
+        # slots only — sampled slots in the same batch decode normally,
+        # gated per slot inside the jitted chunk)
+        self.spec_k = speculative_k
+        self.spec_proposed = 0
+        self.spec_accepted = 0
         # Slack rows past S: inactive lanes (idle leased conversations) ride
         # through the batched step and write dummy rows at their own pos;
         # with pos near S those writes would otherwise clamp inside
         # dynamic_update_slice and shift back over REAL trailing KV rows.
         # The slack region absorbs them — attention never reads past S
         # (attn buckets cap at S), so slack rows are always dead.
-        self._slack = max(decode_chunk, 8)
+        # With speculation every step writes a (spec_k+1)-row window.
+        self._slack = max(decode_chunk * (speculative_k + 1), 8)
         shape = (self.B, cfg.n_layers, self.S + self._slack,
                  cfg.n_kv_heads * cfg.cache_head_dim)
         ks = vs = None
@@ -209,6 +217,66 @@ class BatchScheduler:
             return all_toks, cache
 
         self._decode_chunk_b = _decode_chunk_b
+
+        @partial(jax.jit, static_argnames=("n_steps", "k", "attn_len"),
+                 donate_argnames=("cache",))
+        def _spec_chunk_b(params, cache, h, tokens, pos, temps, top_ps,
+                          key, n_steps, k, attn_len):
+            """Batched prompt-lookup speculative chunk: every step runs
+            ONE t_q=k+1 verify forward for ALL slots; greedy slots accept
+            their longest matching draft prefix, sampled slots sample row
+            0 and accept nothing (runtime/speculative.py documents the
+            cache-garbage/causal-mask invariant).  Returns per-slot token
+            buffers + counts."""
+            B = tokens.shape[0]
+            Sh = h.shape[1]
+            vmax = cfg.vocab_size - 1
+            greedy = temps == 0.0
+            idx = jnp.arange(Sh - 1, dtype=jnp.int32)
+
+            def draft_one(hb, pb):
+                a, b2 = hb[pb - 1], hb[pb]
+                m = (hb[:-1] == a) & (hb[1:] == b2) & (idx < pb - 1)
+                j = jnp.max(jnp.where(m, idx, -1))
+                start = jnp.clip(j + 2, 0, Sh - k)
+                return jnp.clip(jax.lax.dynamic_slice(hb, (start,), (k,)),
+                                0, vmax)
+
+            def step(carry, _):
+                toks, p, cache, h, n_out, out, key = carry
+                draft = jax.vmap(draft_one)(h, p)            # (B, k)
+                tin = jnp.concatenate([toks[:, None], draft], 1)
+                x = embed_tokens(params, cfg, tin.reshape(-1))
+                logits, cache = forward_batched(params, cfg, cache, x, p,
+                                                attn_len, t_q=k + 1)
+                logits = logits.reshape(B, k + 1, -1)
+                g = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, k+1)
+                key, sub = jax.random.split(key)
+                tok0 = sample_batched(logits[:, 0], temps, top_ps, sub)
+                ok = (draft == g[:, :-1]) & greedy[:, None]
+                ok = jnp.concatenate([ok, jnp.zeros((B, 1), bool)], 1)
+                n_acc = jnp.argmin(ok, axis=1).astype(jnp.int32)
+                emit = g.at[:, 0].set(tok0)                  # (B, k+1)
+                h = jax.vmap(lambda hb, eb, pb:
+                             jax.lax.dynamic_update_slice(hb, eb,
+                                                          (pb + 1,)))(
+                    h, emit, p)
+                out = jax.vmap(lambda ob, eb, nb:
+                               jax.lax.dynamic_update_slice(ob, eb,
+                                                            (nb,)))(
+                    out, emit, n_out)
+                nxt = jnp.take_along_axis(emit, n_acc[:, None], 1)[:, 0]
+                return (nxt, p + n_acc + 1, cache, h,
+                        n_out + n_acc + 1, out, key), n_acc
+
+            out0 = jnp.zeros((B, n_steps * (k + 1)), jnp.int32)
+            n0 = jnp.zeros((B,), jnp.int32)
+            (toks, p, cache, h, n_out, out, _), accs = jax.lax.scan(
+                step, (tokens, pos, cache, h, n0, out0, key),
+                length=n_steps)
+            return out, n_out, cache, accs
+
+        self._spec_chunk_b = _spec_chunk_b
         self._embed = jax.jit(partial(embed_tokens, cfg=cfg))
 
     # ------------------------------------------------------------------
@@ -493,9 +561,11 @@ class BatchScheduler:
         if not active:
             return
         n = self.decode_chunk
-        # context guard: slots at their limit finish now
+        # context guard: slots at their limit finish now (with speculation
+        # every step may write a (k+1)-row verify window)
+        row_budget = n * (self.spec_k + 1) if self.spec_k else n
         for i, s in list(active):
-            if s.pos + n >= self.S:
+            if s.pos + row_budget >= self.S:
                 self._finish(i, s)
         active = [(i, s) for i, s in enumerate(self.slots)
                   if s.req is not None]
@@ -515,8 +585,12 @@ class BatchScheduler:
             pos[i] = s.pos
             temps[i] = s.req.temperature
             top_ps[i] = s.req.top_p
-        attn_len = self._bucket(int(pos.max()) + n)
         self.key, sub = jax.random.split(self.key)
+        if self.spec_k:
+            self._step_speculative(active, tokens, pos, temps, top_ps,
+                                   sub, n)
+            return
+        attn_len = self._bucket(int(pos.max()) + n)
         t0 = time.perf_counter()
         toks, self.cache = self._decode_chunk_b(
             self.params, self.cache,
@@ -530,6 +604,36 @@ class BatchScheduler:
             # advance only past consumed tokens: on a mid-chunk stop the
             # overshoot rows sit beyond pos and stay causally masked (a
             # leased conversation's next turn must not see them as history)
+            if s.req is not None or s.lease is not None:
+                s.pos = pos_before + used
+
+    def _step_speculative(self, active, tokens, pos, temps, top_ps, sub,
+                          n: int):
+        """One speculative decode chunk (see _spec_chunk_b): greedy
+        slots emit 1..k+1 tokens per step, sampled slots exactly 1."""
+        k = self.spec_k
+        Sh = self.S + self._slack
+        h = np.full((self.B, Sh), -1, np.int32)
+        for i, s in active:
+            t = s.tokens[:Sh]
+            h[i, :len(t)] = t
+        attn_len = self._bucket(min(int(pos.max()) + n * (k + 1) + 1,
+                                    self.S))
+        t0 = time.perf_counter()
+        out_buf, n_out, self.cache, accs = self._spec_chunk_b(
+            self.params, self.cache, jnp.asarray(h),
+            jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(temps),
+            jnp.asarray(top_ps), sub, n_steps=n, k=k, attn_len=attn_len)
+        arr = np.asarray(out_buf)            # (B, n*(k+1))
+        counts = np.asarray(n_out)           # (B,)
+        accs_np = np.asarray(accs)           # (n, B)
+        self.decode_seconds += time.perf_counter() - t0
+        for i, s in active:
+            if temps[i] == 0.0:
+                self.spec_proposed += n * k
+                self.spec_accepted += int(accs_np[:, i].sum())
+            pos_before = s.pos
+            used = self._emit(i, s, [int(t) for t in arr[i, :counts[i]]])
             if s.req is not None or s.lease is not None:
                 s.pos = pos_before + used
 

@@ -420,3 +420,76 @@ def test_prefix_cache_ignores_short_and_free(model):
                  on_done=lambda o: done.setdefault("b", o))
     sched.run()
     assert sched.prefix_hits == 0
+
+
+def test_scheduler_speculative_greedy_parity(model):
+    """Batched speculation (greedy slots accept drafted tokens, verified
+    in one t_q=k+1 forward per step) must emit exactly the plain batched
+    scheduler's tokens."""
+    cfg, params = model
+
+    def run(spec_k):
+        sched = BatchScheduler(cfg, params, max_batch=4, max_ctx=64,
+                               cache_dtype=jnp.float32, prefill_chunk=8,
+                               decode_chunk=4, min_attn_bucket=32,
+                               temperature=0.0, speculative_k=spec_k)
+        done = {}
+        # repetitive prompt in slot 0 maximizes draft acceptance
+        prompts = [[5, 9, 5, 9, 5, 9, 5], [1, 5, 9], [7, 3, 11, 13]]
+        for i, p in enumerate(prompts):
+            sched.submit(p, max_new_tokens=N_NEW,
+                         on_done=lambda out, i=i: done.setdefault(i, out))
+        sched.run()
+        return done, sched
+
+    want, _ = run(0)
+    got, s = run(3)
+    assert sorted(got) == sorted(want)
+    for i in want:
+        assert got[i] == want[i], (i, got[i], want[i])
+    assert s.spec_proposed > 0
+    assert 0 <= s.spec_accepted <= s.spec_proposed
+
+
+def test_scheduler_speculative_mixed_sampling(model):
+    """Greedy and sampled requests share one speculative batch: greedy
+    slots stay token-exact vs the plain scheduler; sampled slots decode
+    one token per step (never accept drafts) and still produce their
+    budgeted stream."""
+    cfg, params = model
+
+    def run(spec_k):
+        sched = BatchScheduler(cfg, params, max_batch=4, max_ctx=64,
+                               cache_dtype=jnp.float32, prefill_chunk=8,
+                               decode_chunk=4, min_attn_bucket=32,
+                               temperature=0.0, seed=5,
+                               speculative_k=spec_k)
+        done = {}
+        sched.submit([5, 9, 5, 9, 5], max_new_tokens=N_NEW,
+                     on_done=lambda o: done.setdefault("g", o))
+        sched.submit([2, 4, 8], max_new_tokens=N_NEW, temperature=0.9,
+                     top_p=0.8, on_done=lambda o: done.setdefault("s", o))
+        sched.run()
+        return done
+
+    want = run(0)
+    got = run(4)
+    assert got["g"] == want["g"], (got["g"], want["g"])
+    assert len(got["s"]) == N_NEW
+
+
+def test_scheduler_speculative_int8(model):
+    cfg, params = model
+
+    def run(spec_k):
+        sched = BatchScheduler(cfg, params, max_batch=2, max_ctx=64,
+                               cache_dtype=jnp.int8, prefill_chunk=8,
+                               decode_chunk=4, min_attn_bucket=32,
+                               temperature=0.0, speculative_k=spec_k)
+        done = {}
+        sched.submit([5, 9, 5, 9, 5, 9], max_new_tokens=N_NEW,
+                     on_done=lambda o: done.setdefault("a", o))
+        sched.run()
+        return done
+
+    assert run(3)["a"] == run(0)["a"]
