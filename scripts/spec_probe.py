@@ -80,6 +80,34 @@ def main():
             print(f"{name:11s} {label:5s}: {len(out) / dt:7.1f} tok/s "
                   f"({len(out)} tokens in {dt:.2f}s){acc}", flush=True)
 
+    # batched speculation: B greedy streams sharing one scheduler
+    from lmrs_tpu.serve.scheduler import BatchScheduler
+
+    B = int(os.environ.get("LMRS_SPEC_BATCH", "4"))
+    for label, sk in [("plain", 0), ("spec", k)]:
+        sched = BatchScheduler(cfg, params, max_batch=B, max_ctx=1024,
+                               cache_dtype=jnp.bfloat16, decode_chunk=16,
+                               temperature=0.0, speculative_k=sk)
+        done = {}
+        for i in range(B):
+            sched.submit(prompts["repetitive"][:256],
+                         max_new_tokens=n_tokens,
+                         on_done=lambda o, i=i: done.setdefault(i, o))
+        sched.run()   # includes compile; timed run below
+        done.clear()
+        t0 = time.perf_counter()
+        for i in range(B):
+            sched.submit(prompts["repetitive"][:256],
+                         max_new_tokens=n_tokens,
+                         on_done=lambda o, i=i: done.setdefault(i, o))
+        sched.run()
+        dt = time.perf_counter() - t0
+        total = sum(len(v) for v in done.values())
+        acc = (f" accept={sched.spec_accepted}/{sched.spec_proposed}"
+               if sched.spec_proposed else "")
+        print(f"batched x{B} {label:5s}: {total / dt:7.1f} aggregate tok/s"
+              f" ({total} tokens in {dt:.2f}s){acc}", flush=True)
+
 
 def dataclass_replace(gen, **kw):
     import dataclasses
