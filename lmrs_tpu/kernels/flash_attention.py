@@ -346,11 +346,11 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
 
 
 def flash_decode_batched(
-    q: jax.Array,            # (B, H, hd) f32 — one decode token per slot
+    q: jax.Array,            # (B, H, hd) or (B, T, H, hd) f32
     k_cache: jax.Array,      # (B, L, S, KH*hd) — 3D-per-slot storage
     v_cache: jax.Array,
     layer_idx,               # traced int32
-    pos,                     # (B,) int32 per-slot positions
+    pos,                     # (B,) int32 per-slot positions (of q[:, 0])
     *,
     n_kv: int,
     attn_len: int,
@@ -363,28 +363,39 @@ def flash_decode_batched(
     v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Per-slot blockwise decode attention for the continuous-batching step;
-    returns (B, H, hd) f32.  Program size is O(1) in B — the batch is a grid
-    dimension, not an unrolled loop."""
+    returns (B, H, hd) (or (B, T, H, hd)) f32.  Program size is O(1) in B —
+    the batch is a grid dimension, not an unrolled loop.  A 4D q carries
+    t_q tokens per slot (the batched speculative verify window at long
+    context): row g*T + t of a head block is query head ? of token t, with
+    per-slot causal masking at q_pos = pos + t."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    B, n_heads, hd = q.shape
+    if q.ndim == 3:
+        t_q = 1
+        B, n_heads, hd = q.shape
+        qk = q.reshape(B, n_kv, n_heads // n_kv, hd).astype(jnp.bfloat16)
+    else:
+        B, t_q, n_heads, hd = q.shape
+        # (B, T, H, hd) -> (B, KH, G*T, hd), row g*T + t (see stacked)
+        qk = q.reshape(B, t_q, n_kv, n_heads // n_kv, hd) \
+             .transpose(0, 2, 3, 1, 4) \
+             .reshape(B, n_kv, (n_heads // n_kv) * t_q, hd) \
+             .astype(jnp.bfloat16)
     _, L, S, _ = k_cache.shape
     kh = n_kv
     g = n_heads // kh
-    t_q = 1
-    gt = g
+    gt = g * t_q
     assert hd % 128 == 0
     assert k_cache.shape[-1] == kh * hd
     s_blk, n_total, n_blk = _plan_blocks(attn_len, t_q, window, s_blk)
-
-    qk = q.reshape(B, kh, g, hd).astype(jnp.bfloat16)
 
     if window is not None and n_blk < n_total:
         first_row = jnp.maximum(pos - window, 0)
         start = jnp.minimum(first_row // s_blk, n_total - n_blk)
     else:
         start = jnp.zeros((B,), jnp.int32)
-    last_live = jnp.minimum(pos // s_blk, n_total - 1).astype(jnp.int32)
+    last_live = jnp.minimum((pos + t_q - 1) // s_blk,
+                            n_total - 1).astype(jnp.int32)
     sp = jnp.concatenate([
         jnp.asarray(layer_idx, jnp.int32)[None],
         start.astype(jnp.int32),
@@ -440,4 +451,8 @@ def flash_decode_batched(
         interpret=interpret,
     )(*operands)
 
-    return out.reshape(B, n_heads, hd)
+    if t_q == 1:
+        return out.reshape(B, n_heads, hd)
+    # (B, KH, G*T, hd) -> (B, T, H, hd)
+    return out.reshape(B, kh, g, t_q, hd).transpose(0, 3, 1, 2, 4) \
+              .reshape(B, t_q, n_heads, hd)

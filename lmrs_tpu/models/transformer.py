@@ -758,14 +758,18 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
     k_c, v_c, k_s, v_s = jax.lax.fori_loop(0, n_slots, _upd,
                                            (k_c, v_c, k_s, v_s))
 
-    if t_q == 1 and _flash_eligible(cfg, 1, attn_len):
+    if _flash_eligible(cfg, t_q, attn_len):
         from lmrs_tpu.kernels.flash_attention import flash_decode_batched
 
+        qf = q if t_q == 1 else q.reshape(n_slots, t_q, cfg.n_heads,
+                                          cfg.cache_head_dim)
         att = flash_decode_batched(
-            q, k_c, v_c, layer_idx, pos, n_kv=cfg.n_kv_heads,
+            qf, k_c, v_c, layer_idx, pos, n_kv=cfg.n_kv_heads,
             attn_len=attn_len,
             scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
             window=cfg.sliding_window, k_scale=k_s, v_scale=v_s)
+        if t_q > 1:
+            att = att.reshape(b, cfg.n_heads, cfg.cache_head_dim)
     else:
         kl = jax.lax.dynamic_slice_in_dim(k_c, layer_idx, 1, 1)[:, 0,
                                                                 :attn_len]

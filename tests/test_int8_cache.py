@@ -259,3 +259,45 @@ def test_mesh_engine_int8_tp2():
     got = np.asarray(eng.prefill([5, 9, 33, 2]))
     scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(got, ref, rtol=0, atol=0.05 * scale)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_flash_batched_multi_token(quantized):
+    """Batched flash kernel with t_q>1 (the long-context batched
+    speculative verify) matches per-slot XLA attention."""
+    B, L, S, KH, G, HD, T = 2, 2, 1024, 2, 2, 128, 4
+    H = KH * G
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.standard_normal((B, T, H, HD), dtype=np.float32))
+    k5 = jnp.asarray(rng.standard_normal((B, L, S, KH, HD),
+                                         dtype=np.float32))
+    v5 = jnp.asarray(rng.standard_normal((B, L, S, KH, HD),
+                                         dtype=np.float32))
+    pos = jnp.asarray([100, S - T], jnp.int32)
+    scale = 1.0 / np.sqrt(HD)
+    layer = 1
+
+    if quantized:
+        kq, vq, ks, vs = jax.vmap(_quantize_cache)(k5, v5)
+        kb, vb = kq, vq
+        kw = dict(k_scale=ks, v_scale=vs)
+        k_ref = (kq.astype(jnp.float32).reshape(B, L, S, KH, HD)
+                 * ks.transpose(0, 1, 3, 2)[..., None]).astype(jnp.bfloat16)
+        v_ref = (vq.astype(jnp.float32).reshape(B, L, S, KH, HD)
+                 * vs.transpose(0, 1, 3, 2)[..., None]).astype(jnp.bfloat16)
+    else:
+        kb = k5.reshape(B, L, S, KH * HD).astype(jnp.bfloat16)
+        vb = v5.reshape(B, L, S, KH * HD).astype(jnp.bfloat16)
+        kw = {}
+        k_ref = k5.astype(jnp.bfloat16)
+        v_ref = v5.astype(jnp.bfloat16)
+
+    out = flash_decode_batched(
+        q, kb, vb, jnp.int32(layer), pos, n_kv=KH, attn_len=S, scale=scale,
+        s_blk=256, interpret=True, **kw)
+    assert out.shape == (B, T, H, HD)
+    for b in range(B):
+        ref = attention(q[b], k_ref[b, layer], v_ref[b, layer], pos[b],
+                        scale=scale, precision="fast")
+        np.testing.assert_allclose(np.asarray(out[b]), np.asarray(ref),
+                                   rtol=0, atol=4e-2)
