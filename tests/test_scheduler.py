@@ -493,3 +493,21 @@ def test_scheduler_speculative_int8(model):
         return done
 
     assert run(3)["a"] == run(0)["a"]
+
+
+def test_speculative_context_guard(model):
+    """Slots whose remaining context can't fit a full speculative chunk
+    (decode_chunk * (k+1) rows) must finish cleanly instead of writing
+    past S."""
+    cfg, params = model
+    sched = BatchScheduler(cfg, params, max_batch=2, max_ctx=32,
+                           cache_dtype=jnp.float32, prefill_chunk=8,
+                           decode_chunk=4, min_attn_bucket=32,
+                           temperature=0.0, speculative_k=3)
+    done = {}
+    sched.submit([1, 5, 9, 2, 7, 4], max_new_tokens=64,
+                 on_done=lambda o: done.setdefault("a", o))
+    sched.run()
+    assert "a" in done and len(done["a"]) >= 1
+    # the slot stopped before its verify windows could cross S
+    assert all(s.pos <= sched.S for s in sched.slots)
