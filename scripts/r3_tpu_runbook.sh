@@ -53,6 +53,12 @@ if [ "$FLASH_OK" -eq 0 ]; then
   # 6. gemma-9b at 16k (target >= 90% of its 1k rate, was 74%)
   LMRS_BENCH_CONFIG=gemma2-9b LMRS_BENCH_QUANT=q4_0 LMRS_MAX_SEQ_LEN=16384 \
     run longctx_9b 5400 python scripts/longctx_probe.py
+  # 7. gemma-9b at 32k with the int8 cache — the capacity headline: the
+  #    bf16 cache (11.3 GB at 32k) does NOT fit next to the 4.9 GB Q4
+  #    weights on a 16 GB chip; int8 (5.6 GB) does
+  LMRS_BENCH_CONFIG=gemma2-9b LMRS_BENCH_QUANT=q4_0 LMRS_MAX_SEQ_LEN=32768 \
+  LMRS_BENCH_KV=int8 \
+    run longctx_9b_int8_32k 7200 python scripts/longctx_probe.py
 else
   echo "flash smoke FAILED — skipping long-context stages" \
     | tee -a "$OUT/summary.log"
