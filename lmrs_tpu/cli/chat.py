@@ -56,11 +56,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--show-metrics", action="store_true")
     p.add_argument("--image", default=None)
     p.add_argument("--num-crops", dest="num_crops", type=int, default=1)
-    p.add_argument("--cache-dtype", choices=["bfloat16", "float32", "int8"],
+    p.add_argument("--cache-dtype",
+                   choices=["bfloat16", "float32", "int8", "int4"],
                    default="bfloat16",
                    help="KV cache storage; int8 (per-position-per-head "
                         "scales) halves attention HBM traffic and doubles "
-                        "the max context per chip")
+                        "the max context per chip; int4 (nibble-packed) "
+                        "doubles capacity again (single-device only)")
     p.add_argument("--max-new-tokens", type=int, default=4096)
     p.add_argument("--impl", choices=["fast", "exact"], default="fast",
                    help="matmul path: 'fast' = fused Pallas dequant kernels"

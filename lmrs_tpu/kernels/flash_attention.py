@@ -61,7 +61,8 @@ def _plan_blocks(attn_len: int, t_q: int, window: Optional[int],
 def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
                   n_blk: int, s_blk: int, kh: int, gt: int, t_q: int,
                   hd: int, scale: float, softcap: Optional[float],
-                  window: Optional[int], quantized: bool = False):
+                  window: Optional[int], quantized: bool = False,
+                  packed4: bool = False):
     """One sequence block of online-softmax GQA attention, all kv heads.
 
     sp_ref (SMEM int32): [layer, start_blk, pos, last_live].  Scratch
@@ -86,6 +87,22 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
         ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
     else:
         o_ref, m_scr, l_scr, acc_scr = rest
+    hd_b = hd // 2 if packed4 else hd   # per-head lane width in the block
+
+    def _load_kv(ref, h):
+        """One head's (s_blk, hd) bf16 block; packed4 unpacks the biased
+        int4 nibble bytes (v = 16*q_hi + q_lo + 8 as int8, DESIGN §2 —
+        the same floor/fma trick the weight kernels run)."""
+        blk = ref[:, h * hd_b:(h + 1) * hd_b]
+        if packed4:
+            v = blk.astype(jnp.float32)
+            qhi = jnp.floor(v / 16.0)
+            qlo = v - 16.0 * qhi - 8.0
+            return jnp.concatenate([qlo, qhi], axis=-1).astype(jnp.bfloat16)
+        if quantized:
+            blk = blk.astype(jnp.float32)  # int8->f32: known-good lowering
+        return blk.astype(jnp.bfloat16)
+
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -109,10 +126,7 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
 
         for h in range(kh):
             q_h = q_ref[h]                                  # (GT, hd) bf16
-            k_h = k_ref[0][:, h * hd:(h + 1) * hd]
-            if quantized:
-                k_h = k_h.astype(jnp.float32)  # int8->f32: known-good lowering
-            k_h = k_h.astype(jnp.bfloat16)
+            k_h = _load_kv(k_ref[0], h)
             s = jax.lax.dot_general(
                 q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # (GT, s_blk)
@@ -128,10 +142,7 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
             alpha = jnp.exp(m_old - m_new)
             p = jnp.exp(s - m_new[:, None])                 # (GT, s_blk)
             l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
-            v_h = v_ref[0][:, h * hd:(h + 1) * hd]
-            if quantized:
-                v_h = v_h.astype(jnp.float32)
-            v_h = v_h.astype(jnp.bfloat16)
+            v_h = _load_kv(v_ref[0], h)
             pw = p * vs_ref[0][h][None, :] if quantized else p
             pv = jax.lax.dot_general(
                 pw.astype(jnp.bfloat16), v_h,
@@ -162,6 +173,7 @@ def flash_decode_stacked(
     interpret: Optional[bool] = None,
     k_scale: Optional[jax.Array] = None,   # (L, KH, S) f32 — int8 cache
     v_scale: Optional[jax.Array] = None,
+    packed4: bool = False,                 # int4 cache: nibble-packed bytes
 ) -> jax.Array:
     """Blockwise GQA attention over the stacked cache; returns (T, H, hd)
     f32.  Serves decode steps (T <= 8) AND prefill chunks (T up to a few
@@ -195,8 +207,9 @@ def flash_decode_stacked(
     kh = n_kv
     g = n_heads // kh
     gt = g * t_q
-    assert hd % 128 == 0, "flash path requires lane-aligned head dim"
-    assert k_cache.shape[-1] == kh * hd
+    hd_b = hd // 2 if packed4 else hd     # per-head block lane width
+    assert hd_b % 128 == 0, "flash path requires lane-aligned head blocks"
+    assert k_cache.shape[-1] == kh * hd_b
     assert attn_len <= S
 
     s_blk, n_total, n_blk = _plan_blocks(attn_len, t_q, window, s_blk)
@@ -231,9 +244,9 @@ def flash_decode_stacked(
     in_specs = [
         pl.BlockSpec((kh, gt, hd), lambda j, sp: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, s_blk, kh * hd), _kv_idx,
+        pl.BlockSpec((1, s_blk, kh * hd_b), _kv_idx,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, s_blk, kh * hd), _kv_idx,
+        pl.BlockSpec((1, s_blk, kh * hd_b), _kv_idx,
                      memory_space=pltpu.VMEM),
     ]
     operands = [sp, qk, k3, v3]
@@ -258,7 +271,7 @@ def flash_decode_stacked(
         functools.partial(_flash_kernel, n_blk=n_blk, s_blk=s_blk, kh=kh,
                           gt=gt, t_q=t_q, hd=hd, scale=scale,
                           softcap=softcap, window=window,
-                          quantized=quantized),
+                          quantized=quantized, packed4=packed4),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((kh, gt, hd), jnp.float32),
         compiler_params=pltpu.CompilerParams(

@@ -131,23 +131,54 @@ def init_kv_cache(cfg: ModelConfig, dtype=jnp.float32, seq_len: Optional[int] = 
                   sharding=None, scale_sharding=None) -> KVCache:
     """Preallocate the cache (reference keeps f32 host buffers,
     src/transformer.rs:227-228; on TPU bfloat16 halves HBM traffic and is the
-    default in the engine; int8 halves it again — see KVCache).  head_dim is
-    lane-padded (cfg.cache_head_dim)."""
+    default in the engine; int8 halves it again, "int4" halves it once
+    more with nibble-packed bytes — see KVCache/quantize_kv_rows_q4).
+    head_dim is lane-padded (cfg.cache_head_dim)."""
     s = seq_len or cfg.seq_len
-    shape = (cfg.n_layers, s, cfg.n_kv_heads * cfg.cache_head_dim)
+    kv_m = cfg.n_kv_heads * cfg.cache_head_dim
+    packed4 = isinstance(dtype, str) and dtype == "int4"
+    store = jnp.int8 if packed4 else dtype
+    shape = (cfg.n_layers, s, kv_m // 2 if packed4 else kv_m)
 
     def alloc(shp, dt, sh):
         z = jnp.zeros(shp, dt)
         return jax.device_put(z, sh) if sh is not None else z
 
     ks = vs = None
-    if dtype == jnp.int8:
+    if store == jnp.int8:
         sshape = (cfg.n_layers, cfg.n_kv_heads, s)
         ks = alloc(sshape, jnp.float32, scale_sharding)
         vs = alloc(sshape, jnp.float32, scale_sharding)
-    return KVCache(k=alloc(shape, dtype, sharding),
-                   v=alloc(shape, dtype, sharding),
+    return KVCache(k=alloc(shape, store, sharding),
+                   v=alloc(shape, store, sharding),
                    k_scale=ks, v_scale=vs)
+
+
+def quantize_kv_rows_q4(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(T, KH, hd) float -> ((T, KH*hd/2) int8 BIASED nibble bytes,
+    (T, KH) f32 scales).  Symmetric absmax/7 per (token, head); channel i
+    pairs with channel i + hd/2 WITHIN each head ("group-half" pairing, so
+    the unpack is two lane-block halves concatenated — no interleave).
+    The byte layout is the weights' biased scheme (DESIGN.md §2): the int8
+    view reads v = 16*q_hi + (q_lo + 8), so q_hi = floor(v/16) and
+    q_lo = v - 16*q_hi - 8 — one convert, one floor, one fma to unpack,
+    all ops the round-2 weight kernels validated on Mosaic v5e."""
+    t, kh, hd = x.shape
+    amax = jnp.max(jnp.abs(x), axis=-1)                     # (T, KH)
+    inv = jnp.where(amax > 0, 7.0 / amax, 0.0)
+    q = jnp.clip(jnp.round(x * inv[..., None]), -8, 7).astype(jnp.int32)
+    qlo, qhi = q[..., : hd // 2], q[..., hd // 2:]
+    v = (16 * qhi + qlo + 8).astype(jnp.int8)               # biased bytes
+    return v.reshape(t, kh * hd // 2), amax / 7.0
+
+
+def unpack_kv_q4(vals: jax.Array, kh: int, hd: int) -> jax.Array:
+    """Inverse of quantize_kv_rows_q4's packing (no scale): (..., KH*hd/2)
+    int8 biased bytes -> (..., KH, hd) f32 UNSCALED int values."""
+    v = vals.astype(jnp.float32).reshape(vals.shape[:-1] + (kh, hd // 2))
+    qhi = jnp.floor(v / 16.0)
+    qlo = v - 16.0 * qhi - 8.0
+    return jnp.concatenate([qlo, qhi], axis=-1)
 
 
 def quantize_kv_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -355,7 +386,11 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
     # written (KH*hd)-merged (see KVCache).
     kv_m = cfg.n_kv_heads * cfg.cache_head_dim
     quant_kv = k_cache.dtype == jnp.int8
-    if quant_kv:
+    quant4 = quant_kv and k_cache.shape[-1] == kv_m // 2
+    if quant4:
+        k_row, k_srow = quantize_kv_rows_q4(k)
+        v_row, v_srow = quantize_kv_rows_q4(v)
+    elif quant_kv:
         k_row, k_srow = quantize_kv_rows(k)
         v_row, v_srow = quantize_kv_rows(v)
     else:
@@ -363,10 +398,14 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         v_row = v.reshape(t_q, kv_m)
 
     def _deq(att_vals, att_scales):
-        # (attn, KH*hd) int8 + (KH, attn) f32 -> (attn, KH, hd) float
-        a3 = att_vals.reshape(att_vals.shape[0], cfg.n_kv_heads,
-                              cfg.cache_head_dim)
-        return a3.astype(jnp.float32) * att_scales.T[..., None]
+        # int8: (attn, KH*hd); int4: (attn, KH*hd/2) biased nibble bytes.
+        # att_scales (KH, attn) f32 -> (attn, KH, hd) float
+        if quant4:
+            a3 = unpack_kv_q4(att_vals, cfg.n_kv_heads, cfg.cache_head_dim)
+        else:
+            a3 = att_vals.reshape(att_vals.shape[0], cfg.n_kv_heads,
+                                  cfg.cache_head_dim).astype(jnp.float32)
+        return a3 * att_scales.T[..., None]
 
     if cfg.cp_axis is not None:
         if sp:
@@ -395,9 +434,9 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         from lmrs_tpu.ops.attention import attention_cp
 
         k_att = jax.lax.dynamic_slice(
-            k_cache, (layer_idx, 0, 0), (1, s_loc, kv_m))[0]
+            k_cache, (layer_idx, 0, 0), (1, s_loc, k_cache.shape[2]))[0]
         v_att = jax.lax.dynamic_slice(
-            v_cache, (layer_idx, 0, 0), (1, s_loc, kv_m))[0]
+            v_cache, (layer_idx, 0, 0), (1, s_loc, v_cache.shape[2]))[0]
         if quant_kv:
             k_att = _deq(k_att, jax.lax.dynamic_slice(
                 k_s, (layer_idx, 0, 0),
@@ -427,19 +466,23 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
             v_s = jax.lax.dynamic_update_slice(
                 v_s, v_srow.T[None], (layer_idx, 0, pos))
 
-        if _flash_eligible(cfg, t_q, attn_len):
+        quant4_flash_ok = (not quant4) or cfg.cache_head_dim % 256 == 0
+        if _flash_eligible(cfg, t_q, attn_len) and quant4_flash_ok:
             from lmrs_tpu.kernels.flash_attention import flash_decode_stacked
 
             att = flash_decode_stacked(
                 q, k_cache, v_cache, layer_idx, pos,
                 n_kv=cfg.n_kv_heads, attn_len=attn_len,
                 scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
-                window=cfg.sliding_window, k_scale=k_s, v_scale=v_s)
+                window=cfg.sliding_window, k_scale=k_s, v_scale=v_s,
+                packed4=quant4)
         else:
             k_att = jax.lax.dynamic_slice(
-                k_cache, (layer_idx, 0, 0), (1, attn_len, kv_m))[0]
+                k_cache, (layer_idx, 0, 0),
+                (1, attn_len, k_cache.shape[2]))[0]
             v_att = jax.lax.dynamic_slice(
-                v_cache, (layer_idx, 0, 0), (1, attn_len, kv_m))[0]
+                v_cache, (layer_idx, 0, 0),
+                (1, attn_len, v_cache.shape[2]))[0]
             if quant_kv:
                 k_att = _deq(k_att, jax.lax.dynamic_slice(
                     k_s, (layer_idx, 0, 0),

@@ -39,9 +39,11 @@ from lmrs_tpu.models.transformer import (
 from lmrs_tpu.ops.sampling import sample_argmax, sample_topp, sample_multinomial
 
 
-#: CLI/env name -> KV cache storage dtype (int8 = quantized cache, KVCache)
+#: CLI/env name -> KV cache storage dtype.  int8 = per-(pos, head)
+#: quantized cache; "int4" = nibble-packed (4x bf16 capacity; single-
+#: device engines only — see models.transformer.quantize_kv_rows_q4)
 CACHE_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
-                "int8": jnp.int8}
+                "int8": jnp.int8, "int4": "int4"}
 
 
 @dataclasses.dataclass
@@ -291,6 +293,9 @@ class Engine:
         self.decode_chunk = decode_chunk
         self.pos = 0
         self.metrics = StepMetrics()
+        if cache_dtype == "int4" and mesh is not None:
+            raise ValueError("the int4 KV cache is single-device only "
+                             "(use int8 on tp/cp meshes)")
         if mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -686,16 +691,21 @@ class Engine:
         data = np.load(path if path.endswith(".npz") else path + ".npz")
         if list(data["sig"]) != list(self._session_sig()):
             raise ValueError("session file does not match this model config")
-        k = jnp.asarray(data["k"], self.cache_dtype)
-        v = jnp.asarray(data["v"], self.cache_dtype)
+        store = jnp.int8 if self.cache_dtype == "int4" else self.cache_dtype
+        k = jnp.asarray(data["k"], store)
+        v = jnp.asarray(data["v"], store)
+        if k.shape != self.cache.k.shape:
+            raise ValueError(
+                f"session cache shape {k.shape} does not match this "
+                f"engine's {self.cache.k.shape} (cache dtype mismatch?)")
         ks = vs = None
         if "k_scale" in data:
-            if self.cache_dtype != jnp.int8:
+            if self.cache_dtype not in (jnp.int8, "int4"):
                 raise ValueError("session was saved from an int8 KV cache; "
                                  "this engine uses a float cache")
             ks = jnp.asarray(data["k_scale"], jnp.float32)
             vs = jnp.asarray(data["v_scale"], jnp.float32)
-        elif self.cache_dtype == jnp.int8:
+        elif self.cache_dtype in (jnp.int8, "int4"):
             raise ValueError("session was saved from a float KV cache; "
                              "this engine uses an int8 cache")
         if self.mesh is not None:

@@ -100,6 +100,9 @@ class BatchScheduler:
                  temperature: float = 0.0, top_p: float = 0.9,
                  seed: int = 0, prefix_cache_min: int = 32,
                  speculative_k: int = 0):
+        if cache_dtype == "int4":
+            raise ValueError("the int4 KV cache is single-stream only; "
+                             "use int8 for the batched scheduler")
         self.cfg = cfg
         self.params = params
         self.B = max_batch

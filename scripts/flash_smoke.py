@@ -77,6 +77,24 @@ def main():
           flush=True)
     assert err < 6e-2, err
 
+    # int4 (nibble-packed) cache path — needs hd % 256 == 0
+    if HD % 256 == 0:
+        from lmrs_tpu.models.transformer import quantize_kv_rows_q4
+
+        kq4, ks4 = jax.vmap(quantize_kv_rows_q4)(k)
+        vq4, vs4 = jax.vmap(quantize_kv_rows_q4)(v)
+        ks4, vs4 = ks4.transpose(0, 2, 1), vs4.transpose(0, 2, 1)
+        t0 = time.time()
+        out = jax.jit(lambda q, kq, vq, ks, vs: flash_decode_stacked(
+            q, kq, vq, jnp.int32(1), jnp.int32(pos), n_kv=KH, attn_len=S,
+            scale=scale, k_scale=ks, v_scale=vs, packed4=True))(
+                q, kq4, vq4, ks4, vs4)
+        out.block_until_ready()
+        err = float(jnp.max(jnp.abs(out - ref)))
+        print(f"stacked int4: compile+run {time.time() - t0:.1f}s "
+              f"max|err|={err:.4f}", flush=True)
+        assert err < 0.2, err  # int4 is coarse; catches layout bugs only
+
     # batched variants (scheduler path)
     B = 4
     qB = jnp.asarray(rng.standard_normal((B, H, HD), dtype=np.float32))

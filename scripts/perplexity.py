@@ -149,7 +149,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--impl", default="fast", choices=["fast", "exact"])
     ap.add_argument("--cache-dtype", default="float32",
-                    choices=["float32", "bfloat16", "int8"],
+                    choices=["float32", "bfloat16", "int8", "int4"],
                     help="KV cache storage during scoring — measures the "
                          "quantized-cache accuracy cost in nll")
     args = ap.parse_args()

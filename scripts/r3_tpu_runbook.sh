@@ -26,9 +26,13 @@ run() { # name timeout cmd...
 run tunnel 120 python -c "import jax; print(jax.devices())" || {
   echo "TUNNEL DOWN — aborting runbook"; exit 1; }
 
-# 1. flash kernel smoke: all 4 variants (bf16/int8 x stacked/batched) lower?
+# 1. flash kernel smoke: all variants (bf16/int8 x stacked/batched) lower?
+#    Second run at hd=256 = the gemma head dim; it also exercises the
+#    int4 nibble-packed path (needs hd % 256 == 0) that stage 8 depends on.
 run flash_smoke 1800 python scripts/flash_smoke.py 8192 8 2 128
 FLASH_OK=$?
+run flash_smoke_hd256 1800 python scripts/flash_smoke.py 8192 4 4 256 \
+  || FLASH_OK=1
 
 # 2. driver-visible headline bench (gemma2-9b q4, 1k prompt) — no flash
 #    buckets touched; tail must be free of TRACING CACHE MISS
@@ -59,6 +63,13 @@ if [ "$FLASH_OK" -eq 0 ]; then
   LMRS_BENCH_CONFIG=gemma2-9b LMRS_BENCH_QUANT=q4_0 LMRS_MAX_SEQ_LEN=32768 \
   LMRS_BENCH_KV=int8 \
     run longctx_9b_int8_32k 7200 python scripts/longctx_probe.py
+  # 8. gemma-9b at 64k with the int4 cache — 2x beyond even int8's
+  #    capacity: Q4 weights 4.9 GB + int4 cache ~5.6 GB + scales fits the
+  #    16 GB chip (bf16 would need 22.5 GB of cache alone; the reference
+  #    clamps at 8k).  8x the reference's context window on one chip.
+  LMRS_MAX_SEQ_LEN=65536 LMRS_BENCH_KV=int4 \
+    run longctx_9b_int4_64k 10800 \
+    python scripts/longctx_probe.py gemma2-9b q4_0 65536
 else
   echo "flash smoke FAILED — skipping long-context stages" \
     | tee -a "$OUT/summary.log"

@@ -301,3 +301,103 @@ def test_flash_batched_multi_token(quantized):
                         scale=scale, precision="fast")
         np.testing.assert_allclose(np.asarray(out[b]), np.asarray(ref),
                                    rtol=0, atol=4e-2)
+
+
+# ------------------------------------------------------------- int4 cache
+
+def test_quantize_kv_rows_q4_roundtrip():
+    from lmrs_tpu.models.transformer import (quantize_kv_rows_q4,
+                                             unpack_kv_q4)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 3, 32), dtype=np.float32)) * 5.0
+    v, s = quantize_kv_rows_q4(x)
+    assert v.dtype == jnp.int8 and v.shape == (4, 3 * 16)
+    deq = np.asarray(unpack_kv_q4(v, 3, 32)) * np.asarray(s)[..., None]
+    err = np.abs(deq - np.asarray(x))
+    assert (err <= np.asarray(s)[..., None] / 2 + 1e-6).all()
+
+
+def test_flash_stacked_packed4_matches_dequantized():
+    """Flash kernel in packed4 mode (in-kernel nibble unpack + fused
+    scales) == XLA attention over the explicitly dequantized cache."""
+    from lmrs_tpu.models.transformer import (quantize_kv_rows_q4,
+                                             unpack_kv_q4)
+
+    L, S, KH, G, HD = 2, 1024, 2, 2, 256   # hd % 256 == 0 for packed4
+    H = KH * G
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.standard_normal((1, H, HD), dtype=np.float32))
+    k4 = jnp.asarray(rng.standard_normal((L, S, KH, HD), dtype=np.float32))
+    v4 = jnp.asarray(rng.standard_normal((L, S, KH, HD), dtype=np.float32))
+
+    def qc(a):
+        vals, scales = jax.vmap(quantize_kv_rows_q4)(a)
+        return vals, scales.transpose(0, 2, 1)     # (L, KH, S)
+
+    kq, ks = qc(k4)
+    vq, vs = qc(v4)
+    k_deq = (unpack_kv_q4(kq, KH, HD)
+             * ks.transpose(0, 2, 1)[..., None]).astype(jnp.bfloat16)
+    v_deq = (unpack_kv_q4(vq, KH, HD)
+             * vs.transpose(0, 2, 1)[..., None]).astype(jnp.bfloat16)
+    scale = 1.0 / np.sqrt(HD)
+    for pos in [3, 1000]:
+        ref = attention(q, k_deq[1], v_deq[1], jnp.int32(pos),
+                        scale=scale, precision="fast")
+        out = flash_decode_stacked(
+            q, kq, vq, jnp.int32(1), jnp.int32(pos), n_kv=KH, attn_len=S,
+            scale=scale, s_blk=256, interpret=True,
+            k_scale=ks, v_scale=vs, packed4=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=3e-2)
+
+
+def test_engine_int4_generate_and_session(tmp_path):
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0)
+    params = params_from_weights(cfg, random_weights(cfg, seed=3))
+    eng = Engine(cfg, params, cache_dtype="int4", min_attn_bucket=32,
+                 prefill_chunk=8, decode_chunk=4)
+    assert eng.cache.k.shape[-1] == cfg.n_kv_heads * cfg.cache_head_dim // 2
+    gc = GenerationConfig(temperature=0.0, max_new_tokens=8)
+    a = eng.generate([1, 7, 42], gc)
+    eng.reset()
+    assert eng.generate([1, 7, 42], gc) == a   # deterministic
+
+    path = str(tmp_path / "s4.npz")
+    eng.save_session(path)
+    e2 = Engine(cfg, params, cache_dtype="int4", min_attn_bucket=32,
+                prefill_chunk=8, decode_chunk=4)
+    e2.load_session(path)
+    np.testing.assert_array_equal(np.asarray(e2.cache.k),
+                                  np.asarray(eng.cache.k))
+
+    # width mismatch (int8 engine loading an int4 session) is rejected
+    e8 = Engine(cfg, params, cache_dtype=jnp.int8, min_attn_bucket=32,
+                prefill_chunk=8, decode_chunk=4)
+    with pytest.raises(ValueError, match="shape"):
+        e8.load_session(path)
+
+
+def test_int4_logits_close_to_f32():
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0)
+    params = params_from_weights(cfg, random_weights(cfg, seed=3))
+    e_f32 = Engine(cfg, params, cache_dtype=jnp.float32,
+                   min_attn_bucket=32, prefill_chunk=8)
+    e_i4 = Engine(cfg, params, cache_dtype="int4",
+                  min_attn_bucket=32, prefill_chunk=8)
+    prompt = [3, 11, 250, 17, 42, 9]
+    ref = np.asarray(e_f32.prefill(prompt))
+    got = np.asarray(e_i4.prefill(prompt))
+    scale = max(np.abs(ref).max(), 1.0)
+    # int4 is coarser than int8; bound the logit error at 12% of scale
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0.12 * scale)
+
+
+def test_scheduler_rejects_int4():
+    from lmrs_tpu.serve.scheduler import BatchScheduler
+
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0)
+    params = params_from_weights(cfg, random_weights(cfg, seed=1))
+    with pytest.raises(ValueError, match="int4"):
+        BatchScheduler(cfg, params, max_batch=2, cache_dtype="int4")
