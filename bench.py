@@ -124,8 +124,11 @@ def main():
 
     batch = int(os.environ.get("LMRS_BENCH_BATCH", "0"))
     if batch > 0:
-        return bench_batched(f.cfg, params, config_name, quant_name, batch,
-                             n_tokens, n_prompt)
+        if cp > 1:
+            raise ValueError("LMRS_BENCH_BATCH with LMRS_BENCH_CP is not "
+                             "supported (the scheduler shards kv heads)")
+        return bench_batched(f, params, config_name, quant_name, batch,
+                             n_tokens, n_prompt, tp=tp)
 
     decode_chunk = int(os.environ.get("LMRS_BENCH_CHUNK", "32"))
     # LMRS_BENCH_KV=int8 runs the quantized KV cache (half the attention
@@ -269,24 +272,37 @@ def bench_image_encode(f, cfg, params):
     }
 
 
-def bench_batched(cfg, params, config_name, quant_name, batch, n_tokens,
-                  n_prompt):
+def bench_batched(f, params, config_name, quant_name, batch, n_tokens,
+                  n_prompt, tp=1):
     """Continuous-batching aggregate throughput: `batch` concurrent
-    fixed-length generations through the scheduler."""
+    fixed-length generations through the scheduler (tp>1: the batched
+    step's matmuls shard over a Megatron tensor-parallel mesh too —
+    LMRS_BENCH_BATCH=8 LMRS_BENCH_TP=4)."""
     import time
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from lmrs_tpu.serve.scheduler import BatchScheduler
 
+    cfg = f.cfg
     max_ctx = int(os.environ.get("LMRS_BENCH_MAX_CTX", "2048"))
     from lmrs_tpu.runtime.engine import CACHE_DTYPES
     cache_dtype = CACHE_DTYPES[os.environ.get("LMRS_BENCH_KV", "bfloat16")]
-    sched = BatchScheduler(cfg, params, max_batch=batch,
-                           max_ctx=min(max_ctx, cfg.seq_len),
-                           cache_dtype=cache_dtype, decode_chunk=16,
-                           temperature=0.0)
+    if tp > 1:
+        from lmrs_tpu.parallel.tp import make_mesh_scheduler
+
+        log(f"mesh scheduler: tp={tp} over {jax.devices()[:tp]}")
+        sched = make_mesh_scheduler(f, tp=tp, max_batch=batch,
+                                    max_ctx=min(max_ctx, cfg.seq_len),
+                                    cache_dtype=cache_dtype,
+                                    decode_chunk=16, temperature=0.0)
+    else:
+        sched = BatchScheduler(cfg, params, max_batch=batch,
+                               max_ctx=min(max_ctx, cfg.seq_len),
+                               cache_dtype=cache_dtype, decode_chunk=16,
+                               temperature=0.0)
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(3, cfg.vocab_size - 1, size=n_prompt))
                for _ in range(batch)]
@@ -317,7 +333,8 @@ def bench_batched(cfg, params, config_name, quant_name, batch, n_tokens,
         "value": round(toks, 2),
         "unit": "tok/s",
         "vs_baseline": round(toks / baseline, 2) if baseline else None,
-        "extra": {"batch": batch, "per_seq_tok_s": round(toks / batch, 2)},
+        "extra": {"batch": batch, "tp": tp,
+                  "per_seq_tok_s": round(toks / batch, 2)},
     }))
 
 

@@ -359,6 +359,27 @@ def make_mesh_engine(f, tp: int = 1, cp: int = 1, devices=None,
     return Engine(f.cfg, params, mesh=mesh, param_spec=spec, **engine_kw)
 
 
+def make_mesh_scheduler(f, tp: int = 1, devices=None, **sched_kw):
+    """--batch with --tp: the continuous-batching scheduler over a Megatron
+    tensor-parallel mesh — B concurrent requests AND each step's matmuls
+    sharded across chips.  Same stacked fast-layout params as
+    make_mesh_engine; the scheduler wraps its batched programs in
+    shard_map internally (serve.scheduler.BatchScheduler mesh mode)."""
+    import jax
+
+    from lmrs_tpu.serve.scheduler import BatchScheduler
+
+    devices = list(devices if devices is not None else jax.devices())
+    if tp < 2:
+        raise ValueError("make_mesh_scheduler needs tp>1")
+    if len(devices) < tp:
+        raise ValueError(f"tp={tp} needs {tp} devices, have {len(devices)}")
+    mesh = Mesh(np.asarray(devices[:tp]), ("tp",))
+    params, spec = build_tp_params_stacked(f.cfg, f.tensors, mesh)
+    return BatchScheduler(f.cfg, params, mesh=mesh, param_spec=spec,
+                          **sched_kw)
+
+
 def tp_cache_spec() -> P:
     """KV cache (L, S, KH, hd): kv heads on the tp axis."""
     return P(None, None, AXIS, None)

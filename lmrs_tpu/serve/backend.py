@@ -75,22 +75,37 @@ class BackendServer:
         self.cfg = self.file.cfg
         self.tp, self.cp = tp, cp
         self._mesh_engine_proto = None
+        self._mesh_scheduler = None
         if tp > 1 or cp > 1:
             # multi-chip serving: build the mesh/sharded params ONCE; each
             # connection gets its own Engine over the shared params +
-            # compiled programs (engine._mesh_fns_cached)
+            # compiled programs (engine._mesh_fns_cached), or — with
+            # --batch — all connections share one tp-mesh scheduler
+            if multimodal and cp > 1:
+                raise ValueError("--multimodal with --cp is not supported "
+                                 "yet (image-prefix chunks would straddle "
+                                 "sequence shards); --tp works")
             if batch > 0:
-                raise ValueError("--batch with --tp/--cp is not supported "
-                                 "yet (the scheduler is single-device)")
-            if multimodal:
-                raise ValueError("--multimodal with --tp/--cp is not "
-                                 "supported yet")
-            from lmrs_tpu.parallel.tp import make_mesh_engine
+                if cp > 1:
+                    raise ValueError("--batch with --cp is not supported "
+                                     "(the scheduler shards kv heads; use "
+                                     "a cp engine for beyond-chip context)")
+                from lmrs_tpu.parallel.tp import make_mesh_scheduler
 
-            self._mesh_engine_proto = make_mesh_engine(
-                self.file, tp=tp, cp=cp,
-                cache_dtype=CACHE_DTYPES[cache_dtype])
-            self.params = self._mesh_engine_proto.params
+                self._mesh_scheduler = make_mesh_scheduler(
+                    self.file, tp=tp, max_batch=batch, max_ctx=max_ctx,
+                    cache_dtype=CACHE_DTYPES[cache_dtype],
+                    temperature=temperature, top_p=top_p,
+                    seed=seed if seed is not None else 0,
+                    speculative_k=spec_k)
+                self.params = self._mesh_scheduler.params
+            else:
+                from lmrs_tpu.parallel.tp import make_mesh_engine
+
+                self._mesh_engine_proto = make_mesh_engine(
+                    self.file, tp=tp, cp=cp,
+                    cache_dtype=CACHE_DTYPES[cache_dtype])
+                self.params = self._mesh_engine_proto.params
         else:
             self.params = params_from_lmrs(self.file, fuse_qkv=fuse)
         self.cache_dtype = CACHE_DTYPES[cache_dtype]
@@ -117,12 +132,14 @@ class BackendServer:
             from lmrs_tpu.serve.scheduler import (BatchScheduler,
                                                   SchedulerThread)
 
-            sched = BatchScheduler(
-                self.cfg, self.params, max_batch=batch,
-                max_ctx=max_ctx, cache_dtype=self.cache_dtype,
-                temperature=temperature, top_p=top_p,
-                seed=seed if seed is not None else 0,
-                speculative_k=self.spec_k)
+            sched = self._mesh_scheduler
+            if sched is None:
+                sched = BatchScheduler(
+                    self.cfg, self.params, max_batch=batch,
+                    max_ctx=max_ctx, cache_dtype=self.cache_dtype,
+                    temperature=temperature, top_p=top_p,
+                    seed=seed if seed is not None else 0,
+                    speculative_k=self.spec_k)
             self.scheduler = SchedulerThread(sched)
 
     def _new_engine(self):

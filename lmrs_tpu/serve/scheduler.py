@@ -99,12 +99,35 @@ class BatchScheduler:
                  decode_chunk: int = 8, min_attn_bucket: int = 256,
                  temperature: float = 0.0, top_p: float = 0.9,
                  seed: int = 0, prefix_cache_min: int = 32,
-                 speculative_k: int = 0):
+                 speculative_k: int = 0, mesh=None, param_spec=None):
         if cache_dtype == "int4":
             raise ValueError("the int4 KV cache is single-stream only; "
                              "use int8 for the batched scheduler")
         self.cfg = cfg
         self.params = params
+        # mesh mode: continuous batching over a Megatron tensor-parallel
+        # mesh — every jitted program's body runs under shard_map with the
+        # LOCAL config (parallel.tp.local_config), kv heads sharded on the
+        # "tp" axis exactly like runtime.engine._make_mesh_fns; the batched
+        # cache just carries a leading (unsharded) slot axis.  cp is
+        # rejected: slot-ragged positions would straddle sequence shards.
+        self.mesh = mesh
+        tp = 1
+        if mesh is not None:
+            axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            tp = axes.get("tp", 1)
+            if axes.get("cp", 1) > 1:
+                raise ValueError("the batched scheduler shards kv heads "
+                                 "(tp only); use a single-stream cp engine "
+                                 "for beyond-chip context")
+            if param_spec is None:
+                raise ValueError("mesh scheduler needs param_spec (from "
+                                 "parallel.tp.build_tp_params_stacked)")
+            from lmrs_tpu.parallel.tp import local_config
+            cfg_l = local_config(cfg, tp, "tp" if tp > 1 else None, None)
+        else:
+            cfg_l = cfg
+        self._cfg_l = cfg_l
         self.B = max_batch
         self.S = min(max_ctx or cfg.seq_len, cfg.seq_len)
         self.prefill_chunk = prefill_chunk
@@ -128,14 +151,29 @@ class BatchScheduler:
         self._slack = max(decode_chunk * (speculative_k + 1), 8)
         shape = (self.B, cfg.n_layers, self.S + self._slack,
                  cfg.n_kv_heads * cfg.cache_head_dim)
+        # shard_map partition specs (mesh mode): merged head-lanes on tp
+        # (contiguous per-head blocks — the lane split IS the head split),
+        # scale planes (B, L, KH, S) with kv heads on tp
+        tpa = "tp" if tp > 1 else None
+        from jax.sharding import PartitionSpec as P
+        val_p = P(None, None, None, tpa)
+        scl_p = P(None, None, tpa, None) if cache_dtype == jnp.int8 else None
+        cache_pspec = KVCache(val_p, val_p, scl_p, scl_p)
+
+        def _put(a, spec):
+            if a is None or mesh is None:
+                return a
+            from jax.sharding import NamedSharding
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
         ks = vs = None
         if cache_dtype == jnp.int8:
             # scale planes are sequence-LAST (see models.transformer.KVCache)
             sshape = shape[:2] + (cfg.n_kv_heads, shape[2])
-            ks = jnp.zeros(sshape, jnp.float32)
-            vs = jnp.zeros(sshape, jnp.float32)
-        self.cache = KVCache(k=jnp.zeros(shape, cache_dtype),
-                             v=jnp.zeros(shape, cache_dtype),
+            ks = _put(jnp.zeros(sshape, jnp.float32), scl_p)
+            vs = _put(jnp.zeros(sshape, jnp.float32), scl_p)
+        self.cache = KVCache(k=_put(jnp.zeros(shape, cache_dtype), val_p),
+                             v=_put(jnp.zeros(shape, cache_dtype), val_p),
                              k_scale=ks, v_scale=vs)
         self.slots = [_Slot() for _ in range(self.B)]
         self.waiting: List[Request] = []
@@ -167,25 +205,40 @@ class BatchScheduler:
                            st(cache.k_scale, new.k_scale),
                            st(cache.v_scale, new.v_scale))
 
+        def smap(body, in_specs, out_specs):
+            """Identity on one device; shard_map over the tp mesh
+            otherwise (the shard_map-transparent forward: cfg_l routes the
+            psums/all_gathers inside models.transformer)."""
+            if mesh is None:
+                return body
+            return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False)
+
         @partial(jax.jit, donate_argnames=("cache",))
         def _copy_prefix(cache, src, dst, n_rows):
             """Copy rows [0, n_rows) of slot src's cache into slot dst
             (one masked whole-slot pass, O(1) program size; n_rows is a
-            traced scalar so one compile serves every prefix length)."""
-            def cp(a, seq_axis):
-                # seq_axis indexes the SLICED (slot-local) array: 1 for the
-                # (L, S, kv_m) value planes, 2 for (L, KH, S) scale planes
-                if a is None:
-                    return None
-                srow = jax.lax.dynamic_slice_in_dim(a, src, 1, 0)[0]
-                drow = jax.lax.dynamic_slice_in_dim(a, dst, 1, 0)[0]
-                shp = [1, 1, 1]
-                shp[seq_axis] = srow.shape[seq_axis]
-                mask = (jnp.arange(srow.shape[seq_axis]) < n_rows)                     .reshape(shp)
-                return jax.lax.dynamic_update_slice_in_dim(
-                    a, jnp.where(mask, srow, drow)[None], dst, 0)
-            return KVCache(cp(cache.k, 1), cp(cache.v, 1),
-                           cp(cache.k_scale, 2), cp(cache.v_scale, 2))
+            traced scalar so one compile serves every prefix length).
+            Mesh mode: runs per-shard on the local head block (the copy is
+            elementwise along the sequence axis)."""
+            def body(cache, src, dst, n_rows):
+                def cp(a, seq_axis):
+                    # seq_axis indexes the SLICED (slot-local) array: 1 for
+                    # (L, S, kv_m) value planes, 2 for (L, KH, S) scales
+                    if a is None:
+                        return None
+                    srow = jax.lax.dynamic_slice_in_dim(a, src, 1, 0)[0]
+                    drow = jax.lax.dynamic_slice_in_dim(a, dst, 1, 0)[0]
+                    shp = [1, 1, 1]
+                    shp[seq_axis] = srow.shape[seq_axis]
+                    mask = (jnp.arange(srow.shape[seq_axis])
+                            < n_rows).reshape(shp)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        a, jnp.where(mask, srow, drow)[None], dst, 0)
+                return KVCache(cp(cache.k, 1), cp(cache.v, 1),
+                               cp(cache.k_scale, 2), cp(cache.v_scale, 2))
+            return smap(body, (cache_pspec, P(), P(), P()),
+                        cache_pspec)(cache, src, dst, n_rows)
 
         self._copy_prefix = _copy_prefix
 
@@ -194,10 +247,24 @@ class BatchScheduler:
                  donate_argnames=("cache",))
         def _prefill_slot(params, cache, x, slot, pos, logit_idx, attn_len,
                           want_logits):
-            logits, new = forward(params, cfg, _slot_view(cache, slot), x,
-                                  pos, attn_len,
-                                  logit_idx if want_logits else None)
-            return logits, _slot_store(cache, new, slot)
+            if want_logits:
+                def body(params, cache, x, slot, pos, logit_idx):
+                    logits, new = forward(params, cfg_l,
+                                          _slot_view(cache, slot), x,
+                                          pos, attn_len, logit_idx)
+                    return logits, _slot_store(cache, new, slot)
+                return smap(body,
+                            (param_spec, cache_pspec, P(), P(), P(), P()),
+                            (P(), cache_pspec))(params, cache, x, slot,
+                                                pos, logit_idx)
+
+            def body(params, cache, x, slot, pos):
+                _, new = forward(params, cfg_l, _slot_view(cache, slot), x,
+                                 pos, attn_len, None)
+                return _slot_store(cache, new, slot)
+            return None, smap(body,
+                              (param_spec, cache_pspec, P(), P(), P()),
+                              cache_pspec)(params, cache, x, slot, pos)
 
         self._prefill_slot = _prefill_slot
 
@@ -206,18 +273,23 @@ class BatchScheduler:
                  donate_argnames=("cache",))
         def _decode_chunk_b(params, cache, tokens, pos, temps, top_ps, key,
                             n_steps, attn_len):
-            def step(carry, _):
-                toks, p, cache, key = carry
-                x = embed_tokens(params, cfg, toks)
-                logits, cache = forward_batched(
-                    params, cfg, cache, x, p, attn_len)
-                key, sub = jax.random.split(key)
-                nxt = sample_batched(logits, temps, top_ps, sub)
-                return (nxt, p + 1, cache, key), nxt
+            def body(params, cache, tokens, pos, temps, top_ps, key):
+                def step(carry, _):
+                    toks, p, cache, key = carry
+                    x = embed_tokens(params, cfg_l, toks)
+                    logits, cache = forward_batched(
+                        params, cfg_l, cache, x, p, attn_len)
+                    key, sub = jax.random.split(key)
+                    nxt = sample_batched(logits, temps, top_ps, sub)
+                    return (nxt, p + 1, cache, key), nxt
 
-            (toks, pos, cache, key), all_toks = jax.lax.scan(
-                step, (tokens, pos, cache, key), length=n_steps)
-            return all_toks, cache
+                (toks, p, cache, key), all_toks = jax.lax.scan(
+                    step, (tokens, pos, cache, key), length=n_steps)
+                return all_toks, cache
+            return smap(body,
+                        (param_spec, cache_pspec, P(), P(), P(), P(), P()),
+                        (P(), cache_pspec))(params, cache, tokens, pos,
+                                            temps, top_ps, key)
 
         self._decode_chunk_b = _decode_chunk_b
 
@@ -231,56 +303,67 @@ class BatchScheduler:
             0 and accept nothing (runtime/speculative.py documents the
             cache-garbage/causal-mask invariant).  Returns per-slot token
             buffers + counts."""
-            B = tokens.shape[0]
-            Sh = h.shape[1]
-            vmax = cfg.vocab_size - 1
-            greedy = temps == 0.0
-            idx = jnp.arange(Sh - 1, dtype=jnp.int32)
+            def body(params, cache, h, tokens, pos, temps, top_ps, key):
+                B = tokens.shape[0]
+                Sh = h.shape[1]
+                vmax = cfg.vocab_size - 1
+                greedy = temps == 0.0
+                idx = jnp.arange(Sh - 1, dtype=jnp.int32)
 
-            def draft_one(hb, pb):
-                a, b2 = hb[pb - 1], hb[pb]
-                m = (hb[:-1] == a) & (hb[1:] == b2) & (idx < pb - 1)
-                j = jnp.max(jnp.where(m, idx, -1))
-                start = jnp.clip(j + 2, 0, Sh - k)
-                return jnp.clip(jax.lax.dynamic_slice(hb, (start,), (k,)),
-                                0, vmax)
+                def draft_one(hb, pb):
+                    a, b2 = hb[pb - 1], hb[pb]
+                    m = (hb[:-1] == a) & (hb[1:] == b2) & (idx < pb - 1)
+                    j = jnp.max(jnp.where(m, idx, -1))
+                    start = jnp.clip(j + 2, 0, Sh - k)
+                    return jnp.clip(
+                        jax.lax.dynamic_slice(hb, (start,), (k,)), 0, vmax)
 
-            def step(carry, _):
-                toks, p, cache, h, n_out, out, key = carry
-                draft = jax.vmap(draft_one)(h, p)            # (B, k)
-                tin = jnp.concatenate([toks[:, None], draft], 1)
-                x = embed_tokens(params, cfg, tin.reshape(-1))
-                logits, cache = forward_batched(params, cfg, cache, x, p,
-                                                attn_len, t_q=k + 1)
-                logits = logits.reshape(B, k + 1, -1)
-                g = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, k+1)
-                key, sub = jax.random.split(key)
-                tok0 = sample_batched(logits[:, 0], temps, top_ps, sub)
-                ok = (draft == g[:, :-1]) & greedy[:, None]
-                ok = jnp.concatenate([ok, jnp.zeros((B, 1), bool)], 1)
-                n_acc = jnp.argmin(ok, axis=1).astype(jnp.int32)
-                emit = g.at[:, 0].set(tok0)                  # (B, k+1)
-                h = jax.vmap(lambda hb, eb, pb:
-                             jax.lax.dynamic_update_slice(hb, eb,
-                                                          (pb + 1,)))(
-                    h, emit, p)
-                out = jax.vmap(lambda ob, eb, nb:
-                               jax.lax.dynamic_update_slice(ob, eb,
-                                                            (nb,)))(
-                    out, emit, n_out)
-                nxt = jnp.take_along_axis(emit, n_acc[:, None], 1)[:, 0]
-                return (nxt, p + n_acc + 1, cache, h,
-                        n_out + n_acc + 1, out, key), n_acc
+                def step(carry, _):
+                    toks, p, cache, h, n_out, out, key = carry
+                    draft = jax.vmap(draft_one)(h, p)            # (B, k)
+                    tin = jnp.concatenate([toks[:, None], draft], 1)
+                    x = embed_tokens(params, cfg_l, tin.reshape(-1))
+                    logits, cache = forward_batched(params, cfg_l, cache,
+                                                    x, p, attn_len,
+                                                    t_q=k + 1)
+                    logits = logits.reshape(B, k + 1, -1)
+                    g = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, k+1)
+                    key, sub = jax.random.split(key)
+                    tok0 = sample_batched(logits[:, 0], temps, top_ps, sub)
+                    ok = (draft == g[:, :-1]) & greedy[:, None]
+                    ok = jnp.concatenate([ok, jnp.zeros((B, 1), bool)], 1)
+                    n_acc = jnp.argmin(ok, axis=1).astype(jnp.int32)
+                    emit = g.at[:, 0].set(tok0)                  # (B, k+1)
+                    h = jax.vmap(lambda hb, eb, pb:
+                                 jax.lax.dynamic_update_slice(hb, eb,
+                                                              (pb + 1,)))(
+                        h, emit, p)
+                    out = jax.vmap(lambda ob, eb, nb:
+                                   jax.lax.dynamic_update_slice(ob, eb,
+                                                                (nb,)))(
+                        out, emit, n_out)
+                    nxt = jnp.take_along_axis(emit, n_acc[:, None], 1)[:, 0]
+                    return (nxt, p + n_acc + 1, cache, h,
+                            n_out + n_acc + 1, out, key), n_acc
 
-            out0 = jnp.zeros((B, n_steps * (k + 1)), jnp.int32)
-            n0 = jnp.zeros((B,), jnp.int32)
-            (toks, p, cache, h, n_out, out, _), accs = jax.lax.scan(
-                step, (tokens, pos, cache, h, n0, out0, key),
-                length=n_steps)
-            return out, n_out, cache, accs
+                out0 = jnp.zeros((B, n_steps * (k + 1)), jnp.int32)
+                n0 = jnp.zeros((B,), jnp.int32)
+                (toks, p, cache, h, n_out, out, _), accs = jax.lax.scan(
+                    step, (tokens, pos, cache, h, n0, out0, key),
+                    length=n_steps)
+                return out, n_out, cache, accs
+            return smap(body,
+                        (param_spec, cache_pspec, P(), P(), P(), P(), P(),
+                         P()),
+                        (P(), P(), cache_pspec, P()))(
+                params, cache, h, tokens, pos, temps, top_ps, key)
 
         self._spec_chunk_b = _spec_chunk_b
-        self._embed = jax.jit(partial(embed_tokens, cfg=cfg))
+
+        def _embed_body(params, tokens):
+            return embed_tokens(params, cfg_l, tokens)
+
+        self._embed = jax.jit(smap(_embed_body, (param_spec, P()), P()))
 
     # ------------------------------------------------------------------
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 256,
@@ -409,7 +492,7 @@ class BatchScheduler:
             slot.pending = req
             slot.pending_x = self._embed(
                 self.params,
-                tokens=jnp.asarray(np.asarray(req.prompt, np.int32)))
+                jnp.asarray(np.asarray(req.prompt, np.int32)))
             slot.pending_off = 0
             # admission prefix cache: fork a resident slot's shared prefix
             # rows instead of recomputing them
