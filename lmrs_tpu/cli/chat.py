@@ -144,9 +144,12 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.image:
         if not cfg.multimodal:
             sys.exit("Cannot use images in a non-multimodal model.")
-        if args.tp > 1 or args.cp > 1:
-            sys.exit("--image with --tp/--cp is not supported yet (the "
-                     "vision encoder runs single-chip).")
+        if args.cp > 1:
+            sys.exit("--image with --cp is not supported yet (image-prefix "
+                     "chunks would straddle sequence shards).")
+        # --image with --tp works: the vision tower runs replicated and
+        # the float embedding prefix rides the mesh engine's prefill path
+        # (tests/test_engine_mesh.py::test_tp_engine_prefill_embeds_parity)
         from lmrs_tpu.models.phi3v import encode_image_to_embeds
 
         print("Preprocessing the image...")

@@ -178,3 +178,43 @@ def test_tpcp_engine_generate_parity():
     got = eng.generate(PROMPT, GenerationConfig(temperature=0.0,
                                                 max_new_tokens=N_NEW))
     assert got == want, (got, want)
+
+
+def test_tp_engine_prefill_embeds_parity():
+    """Multimodal path over tp: a replicated float embedding prefix
+    (what the single-device vision tower produces) prefilled into the
+    mesh engine, then generate — token-exact vs single device.  Also
+    checks the host-side embed_tokens gather over the vocab-SHARDED
+    embedding table (chat's image prefix/suffix wrapping runs eagerly
+    on the sharded params)."""
+    from lmrs_tpu.models.transformer import embed_tokens
+
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, **KW)
+    weights = random_weights(cfg, seed=23)
+    params = params_from_weights(cfg, weights, stack_layers=True,
+                                 fuse_qkv=True)
+    embeds = jnp.asarray(
+        np.random.default_rng(0).normal(size=(6, cfg.dim)), jnp.float32)
+
+    eng0 = Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=32,
+                  prefill_chunk=8, decode_chunk=4)
+    eng0.prefill_embeds(embeds, want_logits=False)
+    want = eng0.generate(PROMPT, GenerationConfig(temperature=0.0,
+                                                  max_new_tokens=N_NEW))
+
+    mesh = make_mesh(tp=4, dp=1, devices=jax.devices()[:4])
+    tp_params, spec = build_tp_params_stacked(
+        cfg, _quantized_tensors(cfg, weights), mesh)
+    eng = Engine(cfg, tp_params, cache_dtype=jnp.float32,
+                 min_attn_bucket=32, prefill_chunk=8, decode_chunk=4,
+                 mesh=mesh, param_spec=spec)
+    eng.prefill_embeds(embeds, want_logits=False)
+    got = eng.generate(PROMPT, GenerationConfig(temperature=0.0,
+                                                max_new_tokens=N_NEW))
+    assert got == want, (got, want)
+
+    # eager gather over the vocab-sharded table == single-device embed
+    toks = jnp.asarray([1, 5, 9], jnp.int32)
+    a = np.asarray(embed_tokens(params, cfg, toks))
+    b = np.asarray(embed_tokens(tp_params, cfg, toks))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
