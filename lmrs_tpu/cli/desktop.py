@@ -118,13 +118,23 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--multimodal", action="store_true")
     p.add_argument("--num-crops", dest="num_crops", type=int, default=1)
+    # serving knobs forwarded to the embedded BackendServer (same semantics
+    # as serve.backend's flags)
+    p.add_argument("--cache-dtype", dest="cache_dtype", default="bfloat16")
+    p.add_argument("--batch", type=int, default=0)
+    p.add_argument("--max-ctx", dest="max_ctx", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--cp", type=int, default=1)
+    p.add_argument("--spec-k", dest="spec_k", type=int, default=0)
     args = p.parse_args(argv)
 
     from lmrs_tpu.serve.backend import BackendServer
 
     server = BackendServer(args.model, args.tokenizer, args.temperature,
                            args.top_p, args.seed, args.multimodal,
-                           args.num_crops)
+                           args.num_crops, cache_dtype=args.cache_dtype,
+                           batch=args.batch, max_ctx=args.max_ctx,
+                           tp=args.tp, cp=args.cp, spec_k=args.spec_k)
 
     _PageHandler.ws_port = args.ws_port
     httpd = ThreadingHTTPServer((args.ip, args.port), _PageHandler)
