@@ -27,6 +27,22 @@ def _needs_reexec() -> bool:
 
 
 if _needs_reexec():
+    # pytest's fd-level capture has already swapped fd 1/2 for anonymous
+    # tmpfiles by the time this conftest loads; exec'ing now sends the
+    # re-exec'd run's entire report into the void (observed: 0-byte logs
+    # from `pytest > log`).  Restore the real fds first — this process is
+    # about to be replaced, so stopping global capture has no other effect.
+    try:
+        import gc
+
+        from _pytest.capture import CaptureManager
+
+        for _o in gc.get_objects():
+            if isinstance(_o, CaptureManager):
+                _o.stop_global_capturing()
+                break
+    except Exception:
+        pass
     env = dict(os.environ)
     env[_GUARD] = "1"
     env["JAX_PLATFORMS"] = "cpu"
