@@ -58,6 +58,75 @@ def _plan_blocks(attn_len: int, t_q: int, window: Optional[int],
     return s_blk, n_total, n_blk
 
 
+def _block_masks(row0, pos, gt: int, s_blk: int, t_q: int,
+                 window: Optional[int]):
+    """(valid, win_add) for one sequence block: causal mask (global cache
+    row of each score column vs the query row's absolute position) and
+    the sliding-window additive mask (reference constant -2.38e38,
+    src/transformer.rs:524-525)."""
+    t_idx = row0 + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 1)
+    q_pos = pos + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 0) % t_q
+    valid = t_idx <= q_pos
+    win_add = jnp.zeros((gt, s_blk), jnp.float32)
+    if window is not None:
+        win_add = jnp.where(q_pos - t_idx <= window, 0.0, _WINDOW_NEG)
+    return valid, win_add
+
+
+def _head_block_update(h: int, q_h, k2d, v2d, ks_row, vs_row,
+                       m_scr, l_scr, acc_scr, *, valid, win_add,
+                       scale: float, softcap: Optional[float],
+                       quantized: bool, packed4: bool, hd: int):
+    """One (kv head, sequence block) step of the online-softmax merge —
+    THE flash attention math, shared by the stacked and batched kernels
+    (they differ only in grid/scalar layout and ref slicing).
+
+    k2d/v2d are the block's 2D (s_blk, KH*hd_b) views; ks_row/vs_row the
+    head's (s_blk,) f32 scale rows (int8 cache) or None.  With
+    `quantized`, key scales multiply the SCORE COLUMNS and value scales
+    fold into the softmax weights before the p@V dot — dequantization
+    never materializes a float K/V block.  `packed4` unpacks biased int4
+    nibble bytes (v = 16*q_hi + q_lo + 8 as int8, DESIGN §2 — the same
+    floor/fma trick the weight kernels run)."""
+    hd_b = hd // 2 if packed4 else hd   # per-head lane width in the block
+
+    def load(ref2d):
+        blk = ref2d[:, h * hd_b:(h + 1) * hd_b]
+        if packed4:
+            v = blk.astype(jnp.float32)
+            qhi = jnp.floor(v / 16.0)
+            qlo = v - 16.0 * qhi - 8.0
+            return jnp.concatenate([qlo, qhi], axis=-1).astype(jnp.bfloat16)
+        if quantized:
+            blk = blk.astype(jnp.float32)  # int8->f32: known-good lowering
+        return blk.astype(jnp.bfloat16)
+
+    k_h = load(k2d)
+    s = jax.lax.dot_general(
+        q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # (GT, s_blk)
+    if quantized:
+        s = s * ks_row[None, :]
+    if softcap is not None:
+        s = jnp.tanh(s / softcap) * softcap
+    s = s + win_add
+    s = jnp.where(valid, s, _MASK_NEG)
+
+    m_old = m_scr[h]                                     # (GT,)
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(s - m_new[:, None])                      # (GT, s_blk)
+    l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
+    v_h = load(v2d)
+    pw = p * vs_row[None, :] if quantized else p
+    pv = jax.lax.dot_general(
+        pw.astype(jnp.bfloat16), v_h,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (GT, hd)
+    acc_scr[h] = acc_scr[h] * alpha[:, None] + pv
+    m_scr[h] = m_new
+
+
 def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
                   n_blk: int, s_blk: int, kh: int, gt: int, t_q: int,
                   hd: int, scale: float, softcap: Optional[float],
@@ -75,33 +144,11 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
     optimization elides the DMA (same block as the previous step), and
     this guard skips the compute.  The final-step output write runs
     unconditionally off the accumulated scratch.
-
-    With `quantized`, k/v blocks are int8 and two extra (KH, s_blk) f32
-    scale blocks stream alongside (sequence-last storage: each head's
-    scale row is a native lane vector, no in-kernel relayout): key scales
-    multiply the SCORE COLUMNS and value scales fold into the softmax
-    weights before the p@V dot — dequantization never materializes a
-    float K/V block.
     """
     if quantized:
         ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
     else:
         o_ref, m_scr, l_scr, acc_scr = rest
-    hd_b = hd // 2 if packed4 else hd   # per-head lane width in the block
-
-    def _load_kv(ref, h):
-        """One head's (s_blk, hd) bf16 block; packed4 unpacks the biased
-        int4 nibble bytes (v = 16*q_hi + q_lo + 8 as int8, DESIGN §2 —
-        the same floor/fma trick the weight kernels run)."""
-        blk = ref[:, h * hd_b:(h + 1) * hd_b]
-        if packed4:
-            v = blk.astype(jnp.float32)
-            qhi = jnp.floor(v / 16.0)
-            qlo = v - 16.0 * qhi - 8.0
-            return jnp.concatenate([qlo, qhi], axis=-1).astype(jnp.bfloat16)
-        if quantized:
-            blk = blk.astype(jnp.float32)  # int8->f32: known-good lowering
-        return blk.astype(jnp.bfloat16)
 
     j = pl.program_id(0)
 
@@ -115,41 +162,15 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
     def _live():
         pos = sp_ref[2]
         row0 = (sp_ref[1] + j) * s_blk
-        # global cache row of each score column / query row of each row
-        t_idx = row0 + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 1)
-        q_pos = pos + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 0) % t_q
-
-        valid = t_idx <= q_pos                              # causal
-        win_add = jnp.zeros((gt, s_blk), jnp.float32)
-        if window is not None:
-            win_add = jnp.where(q_pos - t_idx <= window, 0.0, _WINDOW_NEG)
-
+        valid, win_add = _block_masks(row0, pos, gt, s_blk, t_q, window)
         for h in range(kh):
-            q_h = q_ref[h]                                  # (GT, hd) bf16
-            k_h = _load_kv(k_ref[0], h)
-            s = jax.lax.dot_general(
-                q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # (GT, s_blk)
-            if quantized:
-                s = s * ks_ref[0][h][None, :]
-            if softcap is not None:
-                s = jnp.tanh(s / softcap) * softcap
-            s = s + win_add
-            s = jnp.where(valid, s, _MASK_NEG)
-
-            m_old = m_scr[h]                                # (GT,)
-            m_new = jnp.maximum(m_old, jnp.max(s, axis=1))
-            alpha = jnp.exp(m_old - m_new)
-            p = jnp.exp(s - m_new[:, None])                 # (GT, s_blk)
-            l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
-            v_h = _load_kv(v_ref[0], h)
-            pw = p * vs_ref[0][h][None, :] if quantized else p
-            pv = jax.lax.dot_general(
-                pw.astype(jnp.bfloat16), v_h,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (GT, hd)
-            acc_scr[h] = acc_scr[h] * alpha[:, None] + pv
-            m_scr[h] = m_new
+            _head_block_update(
+                h, q_ref[h], k_ref[0], v_ref[0],
+                ks_ref[0][h] if quantized else None,
+                vs_ref[0][h] if quantized else None,
+                m_scr, l_scr, acc_scr, valid=valid, win_add=win_add,
+                scale=scale, softcap=softcap, quantized=quantized,
+                packed4=packed4, hd=hd)
 
     @pl.when(j == n_blk - 1)
     def _():
@@ -313,44 +334,15 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
     def _live():
         pos = sp_ref[1 + n_b + b]
         row0 = (sp_ref[1 + b] + j) * s_blk
-        t_idx = row0 + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 1)
-        q_pos = pos + jax.lax.broadcasted_iota(jnp.int32, (gt, s_blk), 0) % t_q
-        valid = t_idx <= q_pos
-        win_add = jnp.zeros((gt, s_blk), jnp.float32)
-        if window is not None:
-            win_add = jnp.where(q_pos - t_idx <= window, 0.0, _WINDOW_NEG)
-
+        valid, win_add = _block_masks(row0, pos, gt, s_blk, t_q, window)
         for h in range(kh):
-            q_h = q_ref[0, h]
-            k_h = k_ref[0, 0][:, h * hd:(h + 1) * hd]
-            if quantized:
-                k_h = k_h.astype(jnp.float32)
-            k_h = k_h.astype(jnp.bfloat16)
-            s = jax.lax.dot_general(
-                q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            if quantized:
-                s = s * ks_ref[0, 0][h][None, :]
-            if softcap is not None:
-                s = jnp.tanh(s / softcap) * softcap
-            s = s + win_add
-            s = jnp.where(valid, s, _MASK_NEG)
-            m_old = m_scr[h]
-            m_new = jnp.maximum(m_old, jnp.max(s, axis=1))
-            alpha = jnp.exp(m_old - m_new)
-            p = jnp.exp(s - m_new[:, None])
-            l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1)
-            v_h = v_ref[0, 0][:, h * hd:(h + 1) * hd]
-            if quantized:
-                v_h = v_h.astype(jnp.float32)
-            v_h = v_h.astype(jnp.bfloat16)
-            pw = p * vs_ref[0, 0][h][None, :] if quantized else p
-            pv = jax.lax.dot_general(
-                pw.astype(jnp.bfloat16), v_h,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_scr[h] = acc_scr[h] * alpha[:, None] + pv
-            m_scr[h] = m_new
+            _head_block_update(
+                h, q_ref[0, h], k_ref[0, 0], v_ref[0, 0],
+                ks_ref[0, 0][h] if quantized else None,
+                vs_ref[0, 0][h] if quantized else None,
+                m_scr, l_scr, acc_scr, valid=valid, win_add=win_add,
+                scale=scale, softcap=softcap, quantized=quantized,
+                packed4=False, hd=hd)
 
     @pl.when(j == n_blk - 1)
     def _():

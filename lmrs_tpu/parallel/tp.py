@@ -25,7 +25,6 @@ kernels run unmodified on each device's block.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -408,32 +407,12 @@ def _local(qt: QTensor) -> QTensor:
 
 def _embed_tp(params: TransformerParams, cfg: ModelConfig, tp: int,
               tokens: jax.Array) -> jax.Array:
-    """Vocab-sharded embedding gather: local masked lookup + psum."""
-    from lmrs_tpu.quant import unpack_q4
+    """Vocab-sharded embedding gather: local masked lookup + psum
+    (delegates to the shard_map-transparent models.transformer.embed_tokens
+    with the tp axis set — one implementation of the masked gather)."""
+    from lmrs_tpu.models.transformer import embed_tokens
 
-    emb = _local(params.embed)
-    vloc = emb.out_features
-    r = jax.lax.axis_index(AXIS)
-    local = tokens - r * vloc
-    ok = (local >= 0) & (local < vloc)
-    idx = jnp.clip(local, 0, vloc - 1)
-    if emb.qtype == QuantType.NONE:
-        x = emb.q[idx].astype(jnp.float32)
-    else:
-        qrows = emb.q[idx]
-        srows = emb.s[idx]
-        if emb.qtype == QuantType.Q4_0:
-            vals = unpack_q4(qrows, emb.group_size).astype(jnp.float32)
-        else:
-            vals = qrows.astype(jnp.float32)
-        gs = emb.group_size
-        g = vals.reshape(*vals.shape[:-1], vals.shape[-1] // gs, gs)
-        x = (g * srows[..., None]).reshape(tokens.shape + (cfg.dim,))
-    x = jnp.where(ok[:, None], x, 0.0)
-    x = jax.lax.psum(x, AXIS)
-    if cfg.embed_scale_by_sqrt_dim:
-        x = x * jnp.float32(math.sqrt(cfg.dim))
-    return x
+    return embed_tokens(params, cfg.replace(tp_axis=AXIS), tokens)
 
 
 def _layer_tp(cfg: ModelConfig, tp: int, x, lw: LayerWeights, k_c, v_c,

@@ -203,13 +203,21 @@ def _make_mesh_fns(cfg: ModelConfig, mesh, param_spec,
 _MESH_FNS = {}
 
 
+def mesh_memo_key(cfg: ModelConfig, mesh, param_spec,
+                  quant_cache: bool = False):
+    """Hashable identity of a (config, mesh, param layout, cache quant)
+    combination — the memo key for every module-level cache of shard_map-
+    wrapped programs (here and runtime.speculative._MESH_SPEC)."""
+    leaves, treedef = jax.tree_util.tree_flatten(param_spec)
+    return (cfg, mesh, tuple(leaves), treedef, quant_cache)
+
+
 def _mesh_fns_cached(cfg: ModelConfig, mesh, param_spec,
                      quant_cache: bool = False):
     """Share the shard_map-wrapped programs across Engine instances (the
     backend builds one engine per connection; fresh jit wrappers would
     recompile the whole model per client)."""
-    leaves, treedef = jax.tree_util.tree_flatten(param_spec)
-    key = (cfg, mesh, tuple(leaves), treedef, quant_cache)
+    key = mesh_memo_key(cfg, mesh, param_spec, quant_cache)
     if key not in _MESH_FNS:
         _MESH_FNS[key] = _make_mesh_fns(cfg, mesh, param_spec, quant_cache)
     return _MESH_FNS[key]
@@ -408,7 +416,14 @@ class Engine:
         # program itself (a non-512-multiple --seq-len can't run flash).
         from lmrs_tpu.models.transformer import _flash_eligible
 
-        if (_flash_eligible(self.cfg, 1, b)
+        # the int4 cache's in-kernel nibble unpack needs a 256-lane head
+        # block (transformer._layer's quant4_flash_ok); models with
+        # cache_head_dim 128 fall back to the XLA path, which MUST keep
+        # its pow-2 rungs — collapsing would run dense attention over the
+        # full seq_len every step
+        quant4_ok = (self.cache_dtype != "int4"
+                     or self.cfg.cache_head_dim % 256 == 0)
+        if (quant4_ok and _flash_eligible(self.cfg, 1, b)
                 and _flash_eligible(self.cfg, self.prefill_chunk,
                                     self.cfg.seq_len)):
             return self.cfg.seq_len
@@ -643,10 +658,12 @@ class Engine:
             # loop): full decode_chunk-sized chunks amortize the
             # device->host RTT, which dominates on remote-attached chips
             n_steps = max(1, self.decode_chunk)
-            # worst case every draft is rejected: n_steps*(k+1) rows
-            while n_steps > 1 and \
-                    self.pos + n_steps * (k + 1) + 1 >= self.cfg.seq_len:
-                n_steps //= 2
+            # worst case every draft is rejected: n_steps*(k+1) rows.
+            # When a FULL chunk no longer fits, stop — same policy as the
+            # plain chunked loop.  Halving n_steps instead would compile a
+            # fresh (n_steps, k, attn_len) program mid-conversation
+            # (minutes through the remote-compile tunnel), a stall at the
+            # exact end of a long chat that warmup never covers.
             if self.pos + n_steps * (k + 1) + 1 >= self.cfg.seq_len:
                 break
             attn_len = self._attn_bucket(self.pos + n_steps * (k + 1) + 1)
@@ -684,7 +701,7 @@ class Engine:
                          v_scale=np.asarray(self.cache.v_scale))
         np.savez(path,
                  k=np.asarray(self.cache.k), v=np.asarray(self.cache.v),
-                 pos=self.pos,
+                 pos=self.pos, hist=self._hist,
                  sig=np.asarray(self._session_sig(), np.int64), **extra)
 
     def load_session(self, path: str) -> None:
@@ -718,6 +735,14 @@ class Engine:
                 ks, vs = jax.device_put(ks, ssh), jax.device_put(vs, ssh)
         self.cache = KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
         self.pos = int(data["pos"])
+        # restore (or invalidate) the token history: speculative prompt-
+        # lookup drafts from _hist, and a previous conversation's tokens
+        # below the loaded pos would silently zero the acceptance rate
+        self._hist[:] = -1
+        if "hist" in data:
+            h = data["hist"]
+            n = min(h.shape[0], self._hist.shape[0])
+            self._hist[:n] = h[:n]
 
     def _session_sig(self):
         c = self.cfg

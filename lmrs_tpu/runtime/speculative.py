@@ -40,6 +40,24 @@ from lmrs_tpu.config import ModelConfig
 from lmrs_tpu.models.transformer import embed_tokens, forward
 
 
+def lookup_draft(h: jax.Array, p: jax.Array, k: int, vmax: int) -> jax.Array:
+    """Prompt-lookup draft: the k tokens following the LATEST earlier
+    occurrence of the current (h[p-1], h[p]) bigram in the history.
+
+    `h` is a (S,) int32 token history valid through index `p`; unknown
+    rows hold -1, which never matches a real token, and drafts sliced
+    from -1 regions are clamped to valid ids before the embed lookup
+    (they just get rejected at verify).  Shared by the single-stream
+    chunk below and the batched scheduler (vmapped per slot)."""
+    S = h.shape[0]
+    idx = jnp.arange(S - 1, dtype=jnp.int32)
+    a, b = h[p - 1], h[p]
+    m = (h[:-1] == a) & (h[1:] == b) & (idx < p - 1)
+    j = jnp.max(jnp.where(m, idx, -1))          # latest match, -1 if none
+    start = jnp.clip(j + 2, 0, S - k)
+    return jnp.clip(jax.lax.dynamic_slice(h, (start,), (k,)), 0, vmax)
+
+
 @lru_cache(maxsize=None)
 def make_spec_chunk(cfg: ModelConfig):
     """Jitted speculative decode chunk for single-device engines.
@@ -60,21 +78,11 @@ def make_spec_chunk(cfg: ModelConfig):
              donate_argnames=("cache", "h"))
     def spec_chunk(params, cache, h, pos, n_steps: int, k: int,
                    attn_len: int):
-        S = h.shape[0]
         vmax = cfg.vocab_size - 1
-        idx = jnp.arange(S - 1, dtype=jnp.int32)
 
         def step(carry, _):
             cache, h, p, n_out, out = carry
-
-            # ---- draft: latest earlier occurrence of the (h[p-1], h[p])
-            # bigram; the k tokens after it are the guess ----------------
-            a, b = h[p - 1], h[p]
-            m = (h[:-1] == a) & (h[1:] == b) & (idx < p - 1)
-            j = jnp.max(jnp.where(m, idx, -1))          # latest match, -1 if none
-            start = jnp.clip(j + 2, 0, S - k)
-            draft = jax.lax.dynamic_slice(h, (start,), (k,))
-            draft = jnp.clip(draft, 0, vmax)            # -1 rows -> valid ids
+            draft = lookup_draft(h, p, k, vmax)
 
             # ---- verify: ONE T=k+1 forward, logits for every row -------
             toks_in = jnp.concatenate([h[p][None], draft])
@@ -114,8 +122,9 @@ def make_spec_chunk_mesh(cfg: ModelConfig, mesh, param_spec,
     every shard computes identical argmaxes and the history/position
     updates stay replicated).  Shared across Engine instances like
     engine._mesh_fns_cached."""
-    leaves, treedef = jax.tree_util.tree_flatten(param_spec)
-    key = (cfg, mesh, tuple(leaves), treedef, quant_cache)
+    from lmrs_tpu.runtime.engine import mesh_memo_key
+
+    key = mesh_memo_key(cfg, mesh, param_spec, quant_cache)
     if key in _MESH_SPEC:
         return _MESH_SPEC[key]
 

@@ -141,6 +141,13 @@ class BatchScheduler:
         self.spec_k = speculative_k
         self.spec_proposed = 0
         self.spec_accepted = 0
+        # device-resident (B, S+slack) token history for the batched spec
+        # chunk: the chunk updates it in-program (one donated array, no
+        # per-chunk host->device upload of O(B*S) bytes); host-side
+        # divergences (admission, slot reuse, stop truncation) mark rows
+        # dirty for a single-row re-upload before the next chunk
+        self._h_dev = None
+        self._h_dirty = set()
         # Slack rows past S: inactive lanes (idle leased conversations) ride
         # through the batched step and write dummy rows at their own pos;
         # with pos near S those writes would otherwise clamp inside
@@ -294,7 +301,7 @@ class BatchScheduler:
         self._decode_chunk_b = _decode_chunk_b
 
         @partial(jax.jit, static_argnames=("n_steps", "k", "attn_len"),
-                 donate_argnames=("cache",))
+                 donate_argnames=("cache", "h"))
         def _spec_chunk_b(params, cache, h, tokens, pos, temps, top_ps,
                           key, n_steps, k, attn_len):
             """Batched prompt-lookup speculative chunk: every step runs
@@ -304,23 +311,17 @@ class BatchScheduler:
             cache-garbage/causal-mask invariant).  Returns per-slot token
             buffers + counts."""
             def body(params, cache, h, tokens, pos, temps, top_ps, key):
+                from lmrs_tpu.runtime.speculative import lookup_draft
+
                 B = tokens.shape[0]
-                Sh = h.shape[1]
                 vmax = cfg.vocab_size - 1
                 greedy = temps == 0.0
-                idx = jnp.arange(Sh - 1, dtype=jnp.int32)
-
-                def draft_one(hb, pb):
-                    a, b2 = hb[pb - 1], hb[pb]
-                    m = (hb[:-1] == a) & (hb[1:] == b2) & (idx < pb - 1)
-                    j = jnp.max(jnp.where(m, idx, -1))
-                    start = jnp.clip(j + 2, 0, Sh - k)
-                    return jnp.clip(
-                        jax.lax.dynamic_slice(hb, (start,), (k,)), 0, vmax)
 
                 def step(carry, _):
                     toks, p, cache, h, n_out, out, key = carry
-                    draft = jax.vmap(draft_one)(h, p)            # (B, k)
+                    draft = jax.vmap(
+                        lambda hb, pb: lookup_draft(hb, pb, k, vmax))(
+                        h, p)                                    # (B, k)
                     tin = jnp.concatenate([toks[:, None], draft], 1)
                     x = embed_tokens(params, cfg_l, tin.reshape(-1))
                     logits, cache = forward_batched(params, cfg_l, cache,
@@ -351,14 +352,21 @@ class BatchScheduler:
                 (toks, p, cache, h, n_out, out, _), accs = jax.lax.scan(
                     step, (tokens, pos, cache, h, n0, out0, key),
                     length=n_steps)
-                return out, n_out, cache, accs
+                return out, n_out, cache, h, accs
             return smap(body,
                         (param_spec, cache_pspec, P(), P(), P(), P(), P(),
                          P()),
-                        (P(), P(), cache_pspec, P()))(
+                        (P(), P(), cache_pspec, P(), P()))(
                 params, cache, h, tokens, pos, temps, top_ps, key)
 
         self._spec_chunk_b = _spec_chunk_b
+
+        @partial(jax.jit, donate_argnames=("h",))
+        def _h_row_set(h, i, row):
+            return jax.lax.dynamic_update_slice(h, row[None],
+                                                (i, jnp.int32(0)))
+
+        self._h_row_set = _h_row_set
 
         def _embed_body(params, tokens):
             return embed_tokens(params, cfg_l, tokens)
@@ -554,6 +562,9 @@ class BatchScheduler:
                 want_logits=want_logits and last)
             pos += chunk
             off += chunk
+        # the slot's host history changed under the device-resident spec
+        # history — re-upload this row before the next speculative chunk
+        self._h_dirty.add(slot_idx)
         return logits, pos
 
     def _advance_prefills(self):
@@ -627,6 +638,7 @@ class BatchScheduler:
     def _finish(self, slot_idx: int, slot: _Slot):
         req = slot.req
         slot.req = None
+        self._h_dirty.add(slot_idx)
         if slot.lease is None or slot.lease.released:
             slot.lease = None
             slot.pos = 0
@@ -699,15 +711,28 @@ class BatchScheduler:
         slots emit 1..k+1 tokens per step, sampled slots exactly 1."""
         k = self.spec_k
         Sh = self.S + self._slack
-        h = np.full((self.B, Sh), -1, np.int32)
-        for i, s in active:
-            t = s.tokens[:Sh]
-            h[i, :len(t)] = t
+        if self._h_dev is None:
+            h = np.full((self.B, Sh), -1, np.int32)
+            for i, s in enumerate(self.slots):
+                t = s.tokens[:Sh]
+                h[i, :len(t)] = t
+            self._h_dev = jnp.asarray(h)
+            self._h_dirty.clear()
+        elif self._h_dirty:
+            # re-upload only rows whose host history diverged (admission,
+            # slot reuse, truncation) — O(rows * Sh), not O(B * Sh)
+            for i in sorted(self._h_dirty):
+                row = np.full((Sh,), -1, np.int32)
+                t = self.slots[i].tokens[:Sh]
+                row[:len(t)] = t
+                self._h_dev = self._h_row_set(self._h_dev, jnp.int32(i),
+                                              jnp.asarray(row))
+            self._h_dirty.clear()
         attn_len = self._bucket(min(int(pos.max()) + n * (k + 1) + 1,
                                     self.S))
         t0 = time.perf_counter()
-        out_buf, n_out, self.cache, accs = self._spec_chunk_b(
-            self.params, self.cache, jnp.asarray(h),
+        out_buf, n_out, self.cache, self._h_dev, accs = self._spec_chunk_b(
+            self.params, self.cache, self._h_dev,
             jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(temps),
             jnp.asarray(top_ps), sub, n_steps=n, k=k, attn_len=attn_len)
         arr = np.asarray(out_buf)            # (B, n*(k+1))
@@ -720,6 +745,8 @@ class BatchScheduler:
                 self.spec_accepted += int(accs_np[:, i].sum())
             pos_before = s.pos
             used = self._emit(i, s, [int(t) for t in arr[i, :counts[i]]])
+            if used != int(counts[i]):
+                self._h_dirty.add(i)
             if s.req is not None or s.lease is not None:
                 s.pos = pos_before + used
 

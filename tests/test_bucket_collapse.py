@@ -101,3 +101,22 @@ def test_large_prefill_chunk_disables_collapse(monkeypatch):
                    prefill_chunk=128, decode_chunk=4)
     assert big._attn_bucket(600) == 1024        # no collapse: plain pow-2
     assert small._attn_bucket(600) == 2048      # collapsed onto seq_len
+
+
+def test_int4_cache_head128_keeps_bucket_ladder(monkeypatch):
+    """int4 caches on cache_head_dim-128 models can't run the flash kernel
+    (the in-kernel nibble unpack needs a 256-lane head block), so the
+    bucket collapse must NOT fire — collapsing would run dense XLA
+    attention over the full seq_len every step."""
+    cfg, params = _mk_model()   # cache_head_dim = 128
+    monkeypatch.setenv("LMRS_FLASH_MIN_BUCKET", "128")
+    _fresh_compile_caches()
+    eng4 = Engine(cfg, params, cache_dtype="int4", min_attn_bucket=64,
+                  prefill_chunk=16, decode_chunk=4)
+    assert eng4._attn_bucket(70) == 128         # ladder intact
+    assert eng4._attn_bucket(200) == 256
+    # the int8 cache (no lane constraint) still collapses
+    _fresh_compile_caches()
+    eng8 = Engine(cfg, params, cache_dtype=jnp.int8, min_attn_bucket=64,
+                  prefill_chunk=16, decode_chunk=4)
+    assert eng8._attn_bucket(200) == cfg.seq_len

@@ -79,3 +79,26 @@ def test_engine_warmup_then_generate():
                   min_attn_bucket=32, prefill_chunk=8, decode_chunk=4)
     assert eng3.generate([1, 5, 9], GenerationConfig(
         temperature=0.0, max_new_tokens=6)) == base
+
+
+def test_load_session_restores_history(tmp_path):
+    """The token history rides the session file: a resumed engine's
+    speculative prompt-lookup drafts from the SAVED conversation, and an
+    engine that served a different conversation first must not keep its
+    stale history below the loaded pos."""
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0)
+    params = params_from_weights(cfg, random_weights(cfg, 6))
+    gen = GenerationConfig(temperature=0.0, max_new_tokens=6)
+
+    eng = Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=32,
+                 prefill_chunk=8)
+    eng.generate([1, 2, 3], gen)
+    path = str(tmp_path / "session.npz")
+    eng.save_session(path)
+    saved_hist = eng._hist.copy()
+
+    eng2 = Engine(cfg, params, cache_dtype=jnp.float32, min_attn_bucket=32,
+                  prefill_chunk=8)
+    eng2.generate([7, 8, 9, 10, 11, 12], gen)   # a DIFFERENT conversation
+    eng2.load_session(path)
+    np.testing.assert_array_equal(eng2._hist, saved_hist)
