@@ -101,6 +101,40 @@ def main():
                 print(f"tp={tp} cp={cp}: latency speedup "
                       f"{ts / results[(1, 1)]:.2f}x vs single chip")
 
+    # ---- batched scheduler over the tp mesh (--batch --tp surface) ------
+    from lmrs_tpu.parallel.tp import make_mesh_scheduler
+    from lmrs_tpu.serve.scheduler import BatchScheduler
+
+    B = int(os.environ.get("LMRS_PROBE_BATCH", "4"))
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(3, f.cfg.vocab_size - 1, size=4))
+               for _ in range(B)]
+
+    def run_sched(sched):
+        done = []
+        for p in prompts:
+            sched.submit(p, max_new_tokens=N_NEW,
+                         on_done=lambda o: done.append(o))
+        t0 = time.perf_counter()
+        sched.run()
+        return done, time.perf_counter() - t0
+
+    for tp in sorted({tp for tp, cp in shapes if cp == 1}):
+        if tp * 1 > n_dev or (tp > 1 and f.cfg.n_kv_heads % tp):
+            continue
+        kw = dict(max_batch=B, max_ctx=f.cfg.seq_len, decode_chunk=8,
+                  prefill_chunk=8, min_attn_bucket=32, temperature=0.0)
+        if tp == 1:
+            sched = BatchScheduler(f.cfg, params_from_lmrs(
+                f, stack_layers=True, fuse_qkv=True), **kw)
+        else:
+            sched = make_mesh_scheduler(f, tp=tp, **kw)
+        run_sched(sched)                     # compile
+        outs, dt = run_sched(sched)
+        total = sum(len(o) for o in outs)
+        print(f"batched B={B} tp={tp}: {total / dt:8.1f} tok/s aggregate "
+              f"({total} tokens in {dt * 1000:.0f} ms)", flush=True)
+
 
 if __name__ == "__main__":
     main()
