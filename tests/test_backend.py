@@ -129,3 +129,41 @@ def test_backend_batched_concurrent(artifacts):
     out = asyncio.run(run())
     assert len(out) == 2
     server.scheduler.shutdown()
+
+
+def test_backend_batched_tp(artifacts):
+    """--batch --tp: connections share one scheduler whose batched step
+    runs under shard_map over a 2-device tp mesh (the full serving stack:
+    websocket -> scheduler -> mesh program)."""
+    from lmrs_tpu.serve.backend import BackendServer
+
+    model_path, tok_path = artifacts
+    server = BackendServer(model_path, tok_path, temperature=0.0,
+                           batch=2, max_ctx=96, max_new_tokens=8, tp=2)
+    assert server._mesh_scheduler is not None
+
+    async def converse(port, text):
+        import websockets
+
+        pieces = []
+        async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+            await ws.send(json.dumps({"text": text}))
+            while True:
+                msg = json.loads(await asyncio.wait_for(ws.recv(), 120))
+                if msg["category"] == "OUTPUT":
+                    if msg["text"] == "<eos>":
+                        break
+                    pieces.append(msg["text"])
+        return pieces
+
+    async def run():
+        import websockets
+
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            return await asyncio.gather(converse(port, "hi"),
+                                        converse(port, "yo"))
+
+    out = asyncio.run(run())
+    assert len(out) == 2
+    server.scheduler.shutdown()
