@@ -288,9 +288,16 @@ def bench_batched(f, params, config_name, quant_name, batch, n_tokens,
 
     cfg = f.cfg
     max_ctx = int(os.environ.get("LMRS_BENCH_MAX_CTX", "2048"))
+    # LMRS_BENCH_POOL=N: PAGED KV cache with N pooled rows (memory =
+    # sum of live contexts, not batch x max-ctx); LMRS_BENCH_PAGE sets
+    # the page granularity (rows per page = flash block size)
+    pool = int(os.environ.get("LMRS_BENCH_POOL", "0")) or None
+    page = int(os.environ.get("LMRS_BENCH_PAGE", "512"))
     from lmrs_tpu.runtime.engine import CACHE_DTYPES
     cache_dtype = CACHE_DTYPES[os.environ.get("LMRS_BENCH_KV", "bfloat16")]
     if tp > 1:
+        if pool:
+            raise ValueError("LMRS_BENCH_POOL is single-device (no tp)")
         from lmrs_tpu.parallel.tp import make_mesh_scheduler
 
         log(f"mesh scheduler: tp={tp} over {jax.devices()[:tp]}")
@@ -299,10 +306,13 @@ def bench_batched(f, params, config_name, quant_name, batch, n_tokens,
                                     cache_dtype=cache_dtype,
                                     decode_chunk=16, temperature=0.0)
     else:
+        if pool:
+            log(f"paged kv cache: {pool}-row pool, {page}-row pages")
         sched = BatchScheduler(cfg, params, max_batch=batch,
                                max_ctx=min(max_ctx, cfg.seq_len),
                                cache_dtype=cache_dtype, decode_chunk=16,
-                               temperature=0.0)
+                               temperature=0.0, pool_tokens=pool,
+                               page_size=page)
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(3, cfg.vocab_size - 1, size=n_prompt))
                for _ in range(batch)]
@@ -333,7 +343,7 @@ def bench_batched(f, params, config_name, quant_name, batch, n_tokens,
         "value": round(toks, 2),
         "unit": "tok/s",
         "vs_baseline": round(toks / baseline, 2) if baseline else None,
-        "extra": {"batch": batch, "tp": tp,
+        "extra": {"batch": batch, "tp": tp, "pool_tokens": pool,
                   "per_seq_tok_s": round(toks / batch, 2)},
     }))
 

@@ -286,6 +286,17 @@ def tiny_gemma(**kw) -> ModelConfig:
         rms_norm_eps=1e-6, rope_theta=10000.0, **kw)
 
 
+def tiny_flash(**kw) -> ModelConfig:
+    """Tiny config whose head_dim is flash-kernel-eligible (lane-aligned
+    128): CPU-mesh smoke runs of the flash / paged-KV product surface
+    (LMRS_BENCH_CONFIG=tiny-flash LMRS_BENCH_POOL=...)."""
+    kw.setdefault("group_size", 32)
+    return ModelConfig.make(
+        ModelType.GEMMA, dim=256, hidden_dim=512, n_layers=2, n_heads=4,
+        head_dim=128, n_kv_heads=2, vocab_size=2048, seq_len=512,
+        rms_norm_eps=1e-6, rope_theta=10000.0, **kw)
+
+
 PRESETS = {
     "gemma2-2b": gemma2_2b,
     "gemma2-9b": gemma2_9b,
@@ -295,4 +306,5 @@ PRESETS = {
     "phi3.5-vision": phi35_vision,
     "tiny-llama": tiny_llama,
     "tiny-gemma": tiny_gemma,
+    "tiny-flash": tiny_flash,
 }

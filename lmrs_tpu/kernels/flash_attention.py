@@ -461,3 +461,132 @@ def flash_decode_batched(
     # (B, KH, G*T, hd) -> (B, T, H, hd)
     return out.reshape(B, kh, g, t_q, hd).transpose(0, 3, 1, 2, 4) \
               .reshape(B, t_q, n_heads, hd)
+
+
+def flash_decode_paged(
+    q: jax.Array,            # (B, H, hd) or (B, T, H, hd) f32
+    k_pool: jax.Array,       # (L, P, psz, KH*hd) — the shared page pool
+    v_pool: jax.Array,
+    table: jax.Array,        # (B, maxp) int32 page table (page 0 = trash)
+    layer_idx,               # traced int32
+    pos,                     # (B,) int32 per-slot positions (of q[:, 0])
+    *,
+    n_kv: int,
+    scale: float,
+    softcap: Optional[float] = None,
+    window: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    k_scale: Optional[jax.Array] = None,   # (L, P, KH, psz) f32 — int8 pool
+    v_scale: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Paged attention: flash_decode_batched over a SHARED page pool.
+
+    The vLLM idea mapped onto the TPU the way this framework maps
+    everything — through scalar prefetch: each slot's K/V live in
+    psz-row pages scattered across one (L, P, psz, KH*hd) pool, and the
+    per-slot page table rides in the scalar-prefetch operand, so the
+    BlockSpec index map translates (slot, virtual block) -> physical page
+    at DMA-issue time.  The kernel BODY is _flash_kernel_batched
+    UNCHANGED — a page IS a sequence block (psz == s_blk), the causal /
+    window masks run on VIRTUAL row indices, and the live-block clamp
+    skips pages past each slot's pos exactly as before.  Pool memory is
+    sum-of-contexts, not B x max-context (the preallocated batched cache's
+    cost, serve/scheduler.py) — the capacity win for ragged fleets.
+
+    The reference has no batched serving at all (one model instance per
+    connection, src/bin/backend.rs:88-110).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if q.ndim == 3:
+        t_q = 1
+        B, n_heads, hd = q.shape
+        qk = q.reshape(B, n_kv, n_heads // n_kv, hd).astype(jnp.bfloat16)
+    else:
+        B, t_q, n_heads, hd = q.shape
+        qk = q.reshape(B, t_q, n_kv, n_heads // n_kv, hd) \
+             .transpose(0, 2, 3, 1, 4) \
+             .reshape(B, n_kv, (n_heads // n_kv) * t_q, hd) \
+             .astype(jnp.bfloat16)
+    L, P, psz, _ = k_pool.shape
+    maxp = table.shape[1]
+    kh = n_kv
+    g = n_heads // kh
+    gt = g * t_q
+    assert hd % 128 == 0
+    assert k_pool.shape[-1] == kh * hd
+    assert t_q <= psz, (t_q, psz)   # a query window straddles <= 2 pages
+
+    # virtual sequence = the page-table span; pages are the blocks
+    s_blk, n_total, n_blk = _plan_blocks(maxp * psz, t_q, window, psz)
+    assert s_blk == psz and n_total == maxp
+
+    if window is not None and n_blk < n_total:
+        first_row = jnp.maximum(pos - window, 0)
+        start = jnp.minimum(first_row // psz, n_total - n_blk)
+    else:
+        start = jnp.zeros((B,), jnp.int32)
+    last_live = jnp.minimum((pos + t_q - 1) // psz,
+                            n_total - 1).astype(jnp.int32)
+    sp = jnp.concatenate([
+        jnp.asarray(layer_idx, jnp.int32)[None],
+        start.astype(jnp.int32),
+        jnp.asarray(pos, jnp.int32),
+        last_live,
+        table.reshape(-1).astype(jnp.int32),
+    ])
+
+    def _page(b, j, sp):
+        vb = jnp.minimum(sp[1 + b] + j, sp[1 + 2 * B + b])
+        return sp[1 + 3 * B + b * maxp + vb]
+
+    def _kv_idx(b, j, sp):
+        return (sp[0], _page(b, j, sp), 0, 0)
+
+    def _ks_idx(b, j, sp):
+        return (sp[0], _page(b, j, sp), 0, 0)
+
+    quantized = k_scale is not None
+    in_specs = [
+        pl.BlockSpec((1, kh, gt, hd), lambda b, j, sp: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, psz, kh * hd), _kv_idx,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, psz, kh * hd), _kv_idx,
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [sp, qk, k_pool, v_pool]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, 1, kh, psz), _ks_idx,
+                                  memory_space=pltpu.VMEM)] * 2
+        operands += [k_scale, v_scale]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_blk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, kh, gt, hd),
+                               lambda b, j, sp: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((kh, gt), jnp.float32),
+            pltpu.VMEM((kh, gt), jnp.float32),
+            pltpu.VMEM((kh, gt, hd), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_batched, n_blk=n_blk, s_blk=psz,
+                          kh=kh, gt=gt, t_q=t_q, hd=hd, scale=scale,
+                          softcap=softcap, window=window,
+                          quantized=quantized),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, kh, gt, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+
+    if t_q == 1:
+        return out.reshape(B, n_heads, hd)
+    return out.reshape(B, kh, g, t_q, hd).transpose(0, 3, 1, 2, 4) \
+              .reshape(B, t_q, n_heads, hd)

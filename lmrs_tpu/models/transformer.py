@@ -721,7 +721,7 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
                    k_c: jax.Array, v_c: jax.Array, layer_idx,
                    cos: jax.Array, sin: jax.Array, pos: jax.Array,
                    attn_len: int, stacked_idx=None, k_s=None, v_s=None,
-                   t_q: int = 1):
+                   t_q: int = 1, table=None):
     """One decoder layer over a BATCH of single-token slots.
 
     x (B, D); cache (B, L, S, KH*hd); pos (B,).  With t_q > 1 (the batched
@@ -734,6 +734,13 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
     masked einsum (ops.attention.attention_batched) or the batched flash
     kernel at long context.  k_s/v_s are the (B, L, S, KH) scale arrays of
     an int8 cache (None otherwise).
+
+    With `table` (a (B, maxp) int32 page table) the cache is PAGED: k_c /
+    v_c are shared (L, P, psz, KH*hd) pools, rows write into the slot's
+    pages (virtual position -> table lookup -> physical page), scales
+    into (L, P, KH, psz) planes, and attention runs the paged flash
+    kernel (kernels.flash_attention.flash_decode_paged).  Pool memory is
+    sum-of-contexts instead of B x max-context.
     """
     b = x.shape[0]
     is_gemma = cfg.model_type == ModelType.GEMMA
@@ -777,6 +784,53 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         kd = k.reshape(b, kv_m).astype(k_c.dtype)
         vd = v.reshape(b, kv_m).astype(v_c.dtype)
         k_s3 = v_s3 = None
+
+    if table is not None:
+        # paged pool: row r of slot i lands at virtual position pos[i]+t,
+        # physical page table[i, vp // psz], page row vp % psz.  Row-wise
+        # DUS keeps program size O(1); a chunk may straddle two pages.
+        psz = k_c.shape[2]
+        kh = cfg.n_kv_heads
+
+        def _upd_row(r, kv):
+            kc, vc, ks, vs = kv
+            i = r // t_q
+            vp = pos[i] + (r % t_q)
+            pg = table[i, vp // psz]
+            off = vp % psz
+            kc = jax.lax.dynamic_update_slice(
+                kc, kd[r].reshape(1, 1, 1, kv_m), (layer_idx, pg, off, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, vd[r].reshape(1, 1, 1, kv_m), (layer_idx, pg, off, 0))
+            if quant_kv:
+                # scale pools are (L, P, KH, psz)
+                ks = jax.lax.dynamic_update_slice(
+                    ks, k_srow[r].reshape(1, 1, kh, 1),
+                    (layer_idx, pg, 0, off))
+                vs = jax.lax.dynamic_update_slice(
+                    vs, v_srow[r].reshape(1, 1, kh, 1),
+                    (layer_idx, pg, 0, off))
+            return kc, vc, ks, vs
+
+        k_c, v_c, k_s, v_s = jax.lax.fori_loop(0, b, _upd_row,
+                                               (k_c, v_c, k_s, v_s))
+        from lmrs_tpu.kernels.flash_attention import flash_decode_paged
+
+        qf = q if t_q == 1 else q.reshape(n_slots, t_q, cfg.n_heads,
+                                          cfg.cache_head_dim)
+        att = flash_decode_paged(
+            qf, k_c, v_c, table, layer_idx, pos, n_kv=cfg.n_kv_heads,
+            scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
+            window=cfg.sliding_window, k_scale=k_s, v_scale=v_s)
+        if t_q > 1:
+            att = att.reshape(b, cfg.n_heads, cfg.cache_head_dim)
+        if hd_pad:
+            att = att[..., : cfg.head_dim]
+        o = qmatmul(att.reshape(b, cfg.att_dim), _localize(lw.wo),
+                    cfg.matmul_impl, layer_idx=stacked_idx)
+        return _layer_batched_post(cfg, x, lw, o, stacked_idx,
+                                   k_c, v_c, k_s, v_s)
+
     kd3 = kd.reshape(n_slots, t_q, kv_m)
     vd3 = vd.reshape(n_slots, t_q, kv_m)
 
@@ -850,6 +904,16 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
 
     o = qmatmul(att.reshape(b, cfg.att_dim), _localize(lw.wo),
                 cfg.matmul_impl, layer_idx=stacked_idx)
+    return _layer_batched_post(cfg, x, lw, o, stacked_idx,
+                               k_c, v_c, k_s, v_s)
+
+
+def _layer_batched_post(cfg: ModelConfig, x, lw: LayerWeights, o,
+                        stacked_idx, k_c, v_c, k_s, v_s):
+    """Post-attention tail of a batched layer (residual + norms + FFN),
+    shared by the contiguous-cache and paged-cache paths."""
+    b = x.shape[0]
+    is_gemma = cfg.model_type == ModelType.GEMMA
     if cfg.tp_axis is not None:
         o = jax.lax.psum(o, cfg.tp_axis)
     if is_gemma:
@@ -896,12 +960,18 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
 
 @lru_cache(maxsize=None)
 def _batched_fast_body(cfg: ModelConfig, attn_len: int, b: int,
-                       t_q: int = 1):
+                       t_q: int = 1, paged: bool = False):
     """Stable scan body for the batched scan-fast decode (see
-    _scan_fast_body for why the traced values travel in the carry)."""
+    _scan_fast_body for why the traced values travel in the carry).
+    With `paged` the carry also holds the page table (a traced array)."""
 
     def body(carry, xs):
-        h, k_c, v_c, k_s, v_s, l, layers, cos, sin, pos = carry
+        if paged:
+            (h, k_c, v_c, k_s, v_s, l, layers, cos, sin, pos,
+             table) = carry
+        else:
+            h, k_c, v_c, k_s, v_s, l, layers, cos, sin, pos = carry
+            table = None
         an, pan, pfn, pfn2 = xs
         lw = LayerWeights(
             att_norm=an, wq=None, wk=None, wv=None, wo=layers.wo,
@@ -910,21 +980,31 @@ def _batched_fast_body(cfg: ModelConfig, attn_len: int, b: int,
             w13=layers.w13)
         h, k_c, v_c, k_s, v_s = _layer_batched(
             cfg, h, lw, k_c, v_c, l, cos, sin, pos, attn_len,
-            stacked_idx=l, k_s=k_s, v_s=v_s, t_q=t_q)
-        return (h, k_c, v_c, k_s, v_s, l + 1, layers, cos, sin, pos), None
+            stacked_idx=l, k_s=k_s, v_s=v_s, t_q=t_q, table=table)
+        out = (h, k_c, v_c, k_s, v_s, l + 1, layers, cos, sin, pos)
+        if paged:
+            out = out + (table,)
+        return out, None
 
     return body
 
 
 @lru_cache(maxsize=None)
 def _batched_exact_body(cfg: ModelConfig, attn_len: int, b: int,
-                        t_q: int = 1):
+                        t_q: int = 1, paged: bool = False):
     def body(carry, lw):
-        h, k_c, v_c, k_s, v_s, l, cos, sin, pos = carry
+        if paged:
+            h, k_c, v_c, k_s, v_s, l, cos, sin, pos, table = carry
+        else:
+            h, k_c, v_c, k_s, v_s, l, cos, sin, pos = carry
+            table = None
         h, k_c, v_c, k_s, v_s = _layer_batched(
             cfg, h, lw, k_c, v_c, l, cos, sin, pos, attn_len,
-            k_s=k_s, v_s=v_s, t_q=t_q)
-        return (h, k_c, v_c, k_s, v_s, l + 1, cos, sin, pos), None
+            k_s=k_s, v_s=v_s, t_q=t_q, table=table)
+        out = (h, k_c, v_c, k_s, v_s, l + 1, cos, sin, pos)
+        if paged:
+            out = out + (table,)
+        return out, None
 
     return body
 
@@ -937,6 +1017,8 @@ def forward_batched(
     pos: jax.Array,          # (B,) int32 — per-slot absolute positions
     attn_len: int,           # static cache prefix length (shared bucket)
     t_q: int = 1,            # tokens per slot (speculative verify: k+1)
+    table: Optional[jax.Array] = None,   # (B, maxp) int32: PAGED cache
+    want_logits: bool = True,            # False: skip the classifier
 ) -> Tuple[jax.Array, KVCache]:
     """One decode step for a BATCH of independent sequences.
 
@@ -963,27 +1045,38 @@ def forward_batched(
     layers = params.layers
     k_c, v_c = cache.k, cache.v
     k_s, v_s = cache.k_scale, cache.v_scale
+    paged = table is not None
     if isinstance(layers, (list, tuple)):
         for l, lw in enumerate(layers):
             x, k_c, v_c, k_s, v_s = _layer_batched(
                 cfg, x, lw, k_c, v_c, l, cos, sin, pos, attn_len,
-                k_s=k_s, v_s=v_s, t_q=t_q)
+                k_s=k_s, v_s=v_s, t_q=t_q, table=table)
     elif (cfg.matmul_impl == "fast" and layers.wqkv is not None
           and layers.wqkv.q.ndim == 3):
         # scan-fast: stacked kernels select the layer via scalar prefetch
         # (see forward) — batched decode gets the same fast-compile path
         norm_xs = (layers.att_norm, layers.post_att_norm,
                    layers.pre_ffn_norm, layers.post_ffn_norm)
-        (x, k_c, v_c, k_s, v_s, _, _, _, _, _), _ = jax.lax.scan(
-            _batched_fast_body(cfg, attn_len, x.shape[0], t_q),
-            (x, k_c, v_c, k_s, v_s, jnp.int32(0), layers, cos, sin, pos),
-            norm_xs)
+        carry = (x, k_c, v_c, k_s, v_s, jnp.int32(0), layers, cos, sin,
+                 pos)
+        if paged:
+            carry = carry + (table,)
+        carry, _ = jax.lax.scan(
+            _batched_fast_body(cfg, attn_len, x.shape[0], t_q, paged),
+            carry, norm_xs)
+        x, k_c, v_c, k_s, v_s = carry[:5]
     else:
-        (x, k_c, v_c, k_s, v_s, _, _, _, _), _ = jax.lax.scan(
-            _batched_exact_body(cfg, attn_len, x.shape[0], t_q),
-            (x, k_c, v_c, k_s, v_s, jnp.int32(0), cos, sin, pos), layers)
+        carry = (x, k_c, v_c, k_s, v_s, jnp.int32(0), cos, sin, pos)
+        if paged:
+            carry = carry + (table,)
+        carry, _ = jax.lax.scan(
+            _batched_exact_body(cfg, attn_len, x.shape[0], t_q, paged),
+            carry, layers)
+        x, k_c, v_c, k_s, v_s = carry[:5]
 
     new_cache = KVCache(k=k_c, v=v_c, k_scale=k_s, v_scale=v_s)
+    if not want_logits:
+        return None, new_cache
     x = rmsnorm(x, params.final_norm, cfg.rms_norm_eps,
                 cfg.norm_unit_offset)
     cls = params.embed if cfg.tied_lm_head else params.lm_head

@@ -54,7 +54,8 @@ class BackendServer:
                  num_crops: int = 1, cache_dtype: str = "bfloat16",
                  max_new_tokens: Optional[int] = None, batch: int = 0,
                  max_ctx: Optional[int] = None, matmul_impl: str = "fast",
-                 tp: int = 1, cp: int = 1, spec_k: int = 0):
+                 tp: int = 1, cp: int = 1, spec_k: int = 0,
+                 pool_tokens: Optional[int] = None, page_size: int = 512):
         import jax.numpy as jnp
 
         from lmrs_tpu.runtime.engine import CACHE_DTYPES
@@ -74,6 +75,9 @@ class BackendServer:
                                               fuse_ffn=False)
         self.cfg = self.file.cfg
         self.tp, self.cp = tp, cp
+        if pool_tokens is not None and (batch == 0 or tp > 1 or cp > 1):
+            raise ValueError("--pool-tokens (paged KV cache) requires "
+                             "--batch and is single-device")
         self._mesh_engine_proto = None
         self._mesh_scheduler = None
         if tp > 1 or cp > 1:
@@ -139,7 +143,8 @@ class BackendServer:
                     max_ctx=max_ctx, cache_dtype=self.cache_dtype,
                     temperature=temperature, top_p=top_p,
                     seed=seed if seed is not None else 0,
-                    speculative_k=self.spec_k)
+                    speculative_k=self.spec_k,
+                    pool_tokens=pool_tokens, page_size=page_size)
             self.scheduler = SchedulerThread(sched)
 
     def _new_engine(self):
@@ -451,6 +456,13 @@ def main(argv=None):
                         "(--temperature 0) single-engine serving")
     p.add_argument("--cp", type=int, default=1,
                    help="context-parallel ways (sequence-sharded KV cache)")
+    p.add_argument("--pool-tokens", dest="pool_tokens", type=int,
+                   default=None,
+                   help="batch mode: PAGED KV cache with this many pooled "
+                        "rows (memory = sum of live contexts, not "
+                        "batch x max-ctx)")
+    p.add_argument("--page-size", dest="page_size", type=int, default=512,
+                   help="paged-cache page rows (= flash block size)")
     args = p.parse_args(argv)
 
     from lmrs_tpu.runtime.compile_cache import enable_compilation_cache
@@ -459,7 +471,9 @@ def main(argv=None):
                            args.top_p, args.seed, args.multimodal,
                            args.num_crops, batch=args.batch,
                            max_ctx=args.max_ctx, matmul_impl=args.impl,
-                           tp=args.tp, cp=args.cp, spec_k=args.spec_k)
+                           tp=args.tp, cp=args.cp, spec_k=args.spec_k,
+                           pool_tokens=args.pool_tokens,
+                           page_size=args.page_size)
     try:
         asyncio.run(server.serve(args.ip, args.port))
     except KeyboardInterrupt:

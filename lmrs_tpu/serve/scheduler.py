@@ -45,6 +45,10 @@ from lmrs_tpu.ops.sampling import (sample_argmax, sample_batched,
                                    sample_multinomial, sample_topp)
 
 
+class PoolExhausted(RuntimeError):
+    """The paged KV pool has no free pages for a required allocation."""
+
+
 @dataclasses.dataclass
 class Request:
     prompt: List[int]
@@ -77,6 +81,8 @@ class _Slot:
     # token at each cached row (feeds the admission prefix cache); -1 marks
     # rows with no token (image embeddings).  Valid through min(len, pos).
     tokens: List[int] = dataclasses.field(default_factory=list)
+    # paged mode: physical page ids backing this slot's virtual blocks
+    pages: List[int] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -99,10 +105,25 @@ class BatchScheduler:
                  decode_chunk: int = 8, min_attn_bucket: int = 256,
                  temperature: float = 0.0, top_p: float = 0.9,
                  seed: int = 0, prefix_cache_min: int = 32,
-                 speculative_k: int = 0, mesh=None, param_spec=None):
+                 speculative_k: int = 0, mesh=None, param_spec=None,
+                 page_size: int = 512,
+                 pool_tokens: Optional[int] = None):
         if cache_dtype == "int4":
             raise ValueError("the int4 KV cache is single-stream only; "
                              "use int8 for the batched scheduler")
+        # paged mode: the KV cache is a SHARED page pool + per-slot page
+        # tables instead of a preallocated (B, L, S, ...) block — memory
+        # is sum-of-contexts (pool_tokens rows), not B x max-context.
+        # Attention always runs the paged flash kernel (page == block).
+        self.paged = pool_tokens is not None
+        if self.paged:
+            if mesh is not None:
+                raise ValueError("the paged scheduler is single-device "
+                                 "(use the contiguous cache with --tp)")
+            if cfg.matmul_impl != "fast" or cfg.cache_head_dim % 128:
+                raise ValueError("the paged cache needs the fast kernel "
+                                 "path and cache_head_dim % 128 == 0 "
+                                 f"(got {cfg.cache_head_dim})")
         self.cfg = cfg
         self.params = params
         # mesh mode: continuous batching over a Megatron tensor-parallel
@@ -156,8 +177,6 @@ class BatchScheduler:
         # (attn buckets cap at S), so slack rows are always dead.
         # With speculation every step writes a (spec_k+1)-row window.
         self._slack = max(decode_chunk * (speculative_k + 1), 8)
-        shape = (self.B, cfg.n_layers, self.S + self._slack,
-                 cfg.n_kv_heads * cfg.cache_head_dim)
         # shard_map partition specs (mesh mode): merged head-lanes on tp
         # (contiguous per-head blocks — the lane split IS the head split),
         # scale planes (B, L, KH, S) with kv heads on tp
@@ -173,15 +192,46 @@ class BatchScheduler:
             from jax.sharding import NamedSharding
             return jax.device_put(a, NamedSharding(mesh, spec))
 
-        ks = vs = None
-        if cache_dtype == jnp.int8:
-            # scale planes are sequence-LAST (see models.transformer.KVCache)
-            sshape = shape[:2] + (cfg.n_kv_heads, shape[2])
-            ks = _put(jnp.zeros(sshape, jnp.float32), scl_p)
-            vs = _put(jnp.zeros(sshape, jnp.float32), scl_p)
-        self.cache = KVCache(k=_put(jnp.zeros(shape, cache_dtype), val_p),
-                             v=_put(jnp.zeros(shape, cache_dtype), val_p),
-                             k_scale=ks, v_scale=vs)
+        kv_m = cfg.n_kv_heads * cfg.cache_head_dim
+        if self.paged:
+            self.psz = page_size
+            # virtual blocks cover S plus the in-chunk write overhang
+            # (decode advances every lane n steps per chunk; prefill pads
+            # chunks) — overhang entries stay 0 and land in the trash page
+            self.maxp = -(-(self.S + self._slack
+                            + max(prefill_chunk, decode_chunk))
+                          // page_size)
+            n_pages = max(2, -(-pool_tokens // page_size)) + 1  # +trash pg 0
+            self.n_pages = n_pages
+            pool = (cfg.n_layers, n_pages, page_size, kv_m)
+            ks = vs = None
+            if cache_dtype == jnp.int8:
+                sshape = (cfg.n_layers, n_pages, cfg.n_kv_heads, page_size)
+                ks = jnp.zeros(sshape, jnp.float32)
+                vs = jnp.zeros(sshape, jnp.float32)
+            self.cache = KVCache(k=jnp.zeros(pool, cache_dtype),
+                                 v=jnp.zeros(pool, cache_dtype),
+                                 k_scale=ks, v_scale=vs)
+            self._table = np.zeros((self.B, self.maxp), np.int32)
+            self._table_dev = jnp.asarray(self._table)
+            self._table_dirty = False
+            self._free_pages = list(range(n_pages - 1, 0, -1))  # pop()
+            # prefix forks SHARE full prefix pages read-only (slots only
+            # ever write at vp >= their pos); a page returns to the free
+            # list when its last holder releases it
+            self._page_refs = np.zeros(n_pages, np.int32)
+        else:
+            shape = (self.B, cfg.n_layers, self.S + self._slack, kv_m)
+            ks = vs = None
+            if cache_dtype == jnp.int8:
+                # scale planes are sequence-LAST (models.transformer.KVCache)
+                sshape = shape[:2] + (cfg.n_kv_heads, shape[2])
+                ks = _put(jnp.zeros(sshape, jnp.float32), scl_p)
+                vs = _put(jnp.zeros(sshape, jnp.float32), scl_p)
+            self.cache = KVCache(
+                k=_put(jnp.zeros(shape, cache_dtype), val_p),
+                v=_put(jnp.zeros(shape, cache_dtype), val_p),
+                k_scale=ks, v_scale=vs)
         self.slots = [_Slot() for _ in range(self.B)]
         self.waiting: List[Request] = []
         self._ids = itertools.count()
@@ -300,17 +350,21 @@ class BatchScheduler:
 
         self._decode_chunk_b = _decode_chunk_b
 
-        @partial(jax.jit, static_argnames=("n_steps", "k", "attn_len"),
+        @partial(jax.jit,
+                 static_argnames=("n_steps", "k", "attn_len", "paged"),
                  donate_argnames=("cache", "h"))
         def _spec_chunk_b(params, cache, h, tokens, pos, temps, top_ps,
-                          key, n_steps, k, attn_len):
+                          key, table, n_steps, k, attn_len, paged=False):
             """Batched prompt-lookup speculative chunk: every step runs
             ONE t_q=k+1 verify forward for ALL slots; greedy slots accept
             their longest matching draft prefix, sampled slots sample row
             0 and accept nothing (runtime/speculative.py documents the
             cache-garbage/causal-mask invariant).  Returns per-slot token
-            buffers + counts."""
-            def body(params, cache, h, tokens, pos, temps, top_ps, key):
+            buffers + counts.  With `paged`, the verify windows write
+            through the page table (the row-wise paged writes are
+            straddle-safe); non-paged callers pass a dummy table."""
+            def body(params, cache, h, tokens, pos, temps, top_ps, key,
+                     table):
                 from lmrs_tpu.runtime.speculative import lookup_draft
 
                 B = tokens.shape[0]
@@ -324,9 +378,9 @@ class BatchScheduler:
                         h, p)                                    # (B, k)
                     tin = jnp.concatenate([toks[:, None], draft], 1)
                     x = embed_tokens(params, cfg_l, tin.reshape(-1))
-                    logits, cache = forward_batched(params, cfg_l, cache,
-                                                    x, p, attn_len,
-                                                    t_q=k + 1)
+                    logits, cache = forward_batched(
+                        params, cfg_l, cache, x, p, attn_len, t_q=k + 1,
+                        table=table if paged else None)
                     logits = logits.reshape(B, k + 1, -1)
                     g = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, k+1)
                     key, sub = jax.random.split(key)
@@ -355,9 +409,9 @@ class BatchScheduler:
                 return out, n_out, cache, h, accs
             return smap(body,
                         (param_spec, cache_pspec, P(), P(), P(), P(), P(),
-                         P()),
+                         P(), P()),
                         (P(), P(), cache_pspec, P(), P()))(
-                params, cache, h, tokens, pos, temps, top_ps, key)
+                params, cache, h, tokens, pos, temps, top_ps, key, table)
 
         self._spec_chunk_b = _spec_chunk_b
 
@@ -372,6 +426,69 @@ class BatchScheduler:
             return embed_tokens(params, cfg_l, tokens)
 
         self._embed = jax.jit(smap(_embed_body, (param_spec, P()), P()))
+
+        if self.paged:
+            virt = self.maxp * self.psz   # static virtual sequence length
+
+            @partial(jax.jit, static_argnames=("want_logits",),
+                     donate_argnames=("cache",))
+            def _prefill_paged(params, cache, x, table_row, pos,
+                               logit_idx, want_logits):
+                """One prefill chunk through the paged pool: the chunk is
+                a t_q-token window of ONE slot (forward_batched with a
+                single lane — pages make per-slot cache views unnecessary).
+                Returns (last-real-row logits | None, cache)."""
+                logits, new = forward_batched(
+                    params, cfg, cache, x, pos, virt, t_q=x.shape[0],
+                    table=table_row, want_logits=want_logits)
+                if not want_logits:
+                    return None, new
+                row = jax.lax.dynamic_slice_in_dim(logits, logit_idx, 1, 0)
+                return row[0], new
+
+            self._prefill_paged = _prefill_paged
+
+            @partial(jax.jit, static_argnames=("n_steps",),
+                     donate_argnames=("cache",))
+            def _decode_chunk_paged(params, cache, table, tokens, pos,
+                                    temps, top_ps, key, n_steps):
+                def step(carry, _):
+                    toks, p, cache, key = carry
+                    x = embed_tokens(params, cfg, toks)
+                    logits, cache = forward_batched(params, cfg, cache, x,
+                                                    p, virt, table=table)
+                    key, sub = jax.random.split(key)
+                    nxt = sample_batched(logits, temps, top_ps, sub)
+                    return (nxt, p + 1, cache, key), nxt
+
+                (toks, p, cache, key), all_toks = jax.lax.scan(
+                    step, (tokens, pos, cache, key), length=n_steps)
+                return all_toks, cache
+
+            self._decode_chunk_paged = _decode_chunk_paged
+
+            @partial(jax.jit, donate_argnames=("cache",))
+            def _copy_page_partial(cache, src_pg, dst_pg, n_rows):
+                """Copy rows [0, n_rows) of pool page src_pg into dst_pg
+                (all layers; one masked pass per plane) — the boundary-
+                page copy of a paged prefix fork."""
+                def cp(a, seq_axis):
+                    # pools (L, P, psz, kv_m): rows on axis 2;
+                    # scale pools (L, P, KH, psz): rows on axis 3
+                    if a is None:
+                        return None
+                    src = jax.lax.dynamic_slice_in_dim(a, src_pg, 1, 1)
+                    dst = jax.lax.dynamic_slice_in_dim(a, dst_pg, 1, 1)
+                    shp = [1, 1, 1, 1]
+                    shp[seq_axis] = a.shape[seq_axis]
+                    mask = (jnp.arange(a.shape[seq_axis])
+                            < n_rows).reshape(shp)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        a, jnp.where(mask, src, dst), dst_pg, 1)
+                return KVCache(cp(cache.k, 2), cp(cache.v, 2),
+                               cp(cache.k_scale, 3), cp(cache.v_scale, 3))
+
+            self._copy_page_partial = _copy_page_partial
 
     # ------------------------------------------------------------------
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 256,
@@ -419,6 +536,8 @@ class BatchScheduler:
                 slot.lease = None
                 if slot.req is None:
                     slot.pos = 0
+                    if self.paged:
+                        self._free_slot_pages(lease.slot_idx)
 
     def prefill_embeds(self, lease: Lease, embeds) -> None:
         """Feed precomputed embeddings (multimodal image prefix) into a
@@ -444,6 +563,93 @@ class BatchScheduler:
     def has_work(self) -> bool:
         return (self.active > 0 or bool(self.waiting)
                 or any(s.pending is not None for s in self.slots))
+
+    # -- paged-pool bookkeeping ----------------------------------------
+    def _table_sync(self):
+        if self._table_dirty:
+            self._table_dev = jnp.asarray(self._table)
+            self._table_dirty = False
+
+    def free_pool_rows(self) -> int:
+        return len(self._free_pages) * self.psz
+
+    def _ensure_pages(self, slot_idx: int, rows: int) -> bool:
+        """Grow the slot's page list to cover `rows` virtual rows; False
+        if the pool is exhausted (already-allocated pages stay put)."""
+        slot = self.slots[slot_idx]
+        need = -(-rows // self.psz)
+        while len(slot.pages) < need:
+            if not self._free_pages:
+                return False
+            pg = self._free_pages.pop()
+            self._page_refs[pg] = 1
+            self._table[slot_idx, len(slot.pages)] = pg
+            slot.pages.append(pg)
+            self._table_dirty = True
+        return True
+
+    def _free_slot_pages(self, slot_idx: int):
+        slot = self.slots[slot_idx]
+        if slot.pages:
+            for pg in slot.pages:
+                self._page_refs[pg] -= 1
+                if self._page_refs[pg] == 0:
+                    self._free_pages.append(pg)
+            slot.pages = []
+            self._table[slot_idx, :] = 0
+            self._table_dirty = True
+
+    def _fork_prefix_paged(self, donor_idx: int, dst_idx: int,
+                           n_rows: int) -> bool:
+        """Admission prefix cache, paged: the dst slot SHARES the donor's
+        full prefix pages (read-only — every slot writes only at
+        vp >= its pos, which for both sides is >= n_rows) and copies just
+        the partial boundary page.  Zero-copy for page-aligned prefixes;
+        False if a needed boundary page can't be allocated."""
+        donor = self.slots[donor_idx]
+        slot = self.slots[dst_idx]
+        n_full = n_rows // self.psz
+        r = n_rows % self.psz
+        if r and not self._free_pages:
+            return False
+        assert not slot.pages, "prefix fork targets an empty slot"
+        for j in range(n_full):
+            pg = donor.pages[j]
+            self._page_refs[pg] += 1
+            self._table[dst_idx, j] = pg
+            slot.pages.append(pg)
+        if r:
+            pg = self._free_pages.pop()
+            self._page_refs[pg] = 1
+            self._table[dst_idx, n_full] = pg
+            slot.pages.append(pg)
+            self.cache = self._copy_page_partial(
+                self.cache, jnp.int32(donor.pages[n_full]),
+                jnp.int32(pg), jnp.int32(r))
+        self._table_dirty = True
+        return True
+
+    def _prefill_call(self, slot_idx: int, xt, pos: int, logit_idx: int,
+                      attn_len: int, want_logits: bool):
+        """One prefill chunk into slot slot_idx (paged or contiguous);
+        returns (logits|None, cache).  Raises PoolExhausted when the
+        paged pool can't cover the chunk's (padded) writes."""
+        if self.paged:
+            if not self._ensure_pages(slot_idx, pos + xt.shape[0]):
+                raise PoolExhausted(
+                    f"slot {slot_idx}: no free pages for prefill rows "
+                    f"through {pos + xt.shape[0]}")
+            self._table_sync()
+            trow = jax.lax.dynamic_slice_in_dim(self._table_dev,
+                                                slot_idx, 1, 0)
+            return self._prefill_paged(
+                self.params, self.cache, xt, trow,
+                jnp.asarray([pos], jnp.int32), jnp.int32(logit_idx),
+                want_logits=want_logits)
+        return self._prefill_slot(
+            self.params, self.cache, xt, jnp.int32(slot_idx),
+            jnp.int32(pos), jnp.int32(logit_idx), attn_len=attn_len,
+            want_logits=want_logits)
 
     # ------------------------------------------------------------------
     def _bucket(self, needed: int) -> int:
@@ -480,6 +686,26 @@ class BatchScheduler:
                 slot = self.slots[slot_idx]
                 slot.pos = 0
                 slot.tokens = []
+            if self.paged:
+                need = slot.pos + len(req.prompt) + 1
+                have = (len(slot.pages) + len(self._free_pages)) * self.psz
+                if need > have:
+                    # not enough pool right now: leave the request waiting
+                    # (pages free as other slots finish) — unless nothing
+                    # is running, in which case it can never fit
+                    if (self.active > 0
+                            or any(s.pending is not None
+                                   for s in self.slots)):
+                        continue
+                    with self._lock:
+                        if req not in self.waiting:
+                            continue
+                        self.waiting.remove(req)
+                    req.error = ("prompt needs more kv-pool rows than the "
+                                 f"whole pool has ({need} > {have})")
+                    if req.on_done is not None:
+                        req.on_done(req.out)
+                    continue
             with self._lock:
                 if req not in self.waiting:
                     continue
@@ -507,9 +733,15 @@ class BatchScheduler:
             if slot.pos == 0 and self.prefix_cache_min:
                 n_cp, donor = self._best_prefix(req.prompt, slot_idx)
                 if n_cp >= self.prefix_cache_min:
-                    self.cache = self._copy_prefix(
-                        self.cache, jnp.int32(donor), jnp.int32(slot_idx),
-                        jnp.int32(n_cp))
+                    if self.paged:
+                        if not self._fork_prefix_paged(donor, slot_idx,
+                                                       n_cp):
+                            # no boundary page free: full prefill instead
+                            continue
+                    else:
+                        self.cache = self._copy_prefix(
+                            self.cache, jnp.int32(donor),
+                            jnp.int32(slot_idx), jnp.int32(n_cp))
                     slot.pos = n_cp
                     slot.pending_off = n_cp
                     slot.tokens = list(req.prompt[:n_cp])
@@ -555,11 +787,9 @@ class BatchScheduler:
                 xt = jnp.pad(xt, ((0, pad - xt.shape[0]), (0, 0)))
             attn_len = self._bucket(pos + pad)
             last = off + chunk >= n
-            logits, self.cache = self._prefill_slot(
-                self.params, self.cache, xt,
-                jnp.int32(slot_idx), jnp.int32(pos),
-                jnp.int32(chunk - 1), attn_len=attn_len,
-                want_logits=want_logits and last)
+            logits, self.cache = self._prefill_call(
+                slot_idx, xt, pos, chunk - 1, attn_len,
+                want_logits and last)
             pos += chunk
             off += chunk
         # the slot's host history changed under the device-resident spec
@@ -588,11 +818,20 @@ class BatchScheduler:
                 xt = jnp.pad(xt, ((0, pad - xt.shape[0]), (0, 0)))
             attn_len = self._bucket(slot.pos + pad)
             last = off + chunk >= n
-            logits, self.cache = self._prefill_slot(
-                self.params, self.cache, xt,
-                jnp.int32(slot_idx), jnp.int32(slot.pos),
-                jnp.int32(chunk - 1), attn_len=attn_len,
-                want_logits=last)
+            try:
+                logits, self.cache = self._prefill_call(
+                    slot_idx, xt, slot.pos, chunk - 1, attn_len, last)
+            except PoolExhausted:
+                req.error = "kv page pool exhausted mid-prefill"
+                slot.pending = None
+                slot.pending_x = None
+                if slot.lease is None:
+                    self._free_slot_pages(slot_idx)
+                    slot.pos = 0
+                    slot.tokens = []
+                if req.on_done is not None:
+                    req.on_done(req.out)
+                continue
             start_pos = slot.pos
             slot.pos += chunk
             # keep list index == row position: a lease continuation's first
@@ -643,6 +882,8 @@ class BatchScheduler:
             slot.lease = None
             slot.pos = 0
             slot.tokens = []
+            if self.paged:
+                self._free_slot_pages(slot_idx)
         # leased slots keep pos: the conversation's KV prefix stays resident
         if req.on_done is not None:
             req.on_done(req.out)
@@ -664,6 +905,12 @@ class BatchScheduler:
         row_budget = n * (self.spec_k + 1) if self.spec_k else n
         for i, s in list(active):
             if s.pos + row_budget >= self.S:
+                self._finish(i, s)
+            elif self.paged and not self._ensure_pages(i,
+                                                       s.pos + row_budget):
+                # pool exhausted: finish the request now (backpressure) —
+                # its pages free for the survivors
+                s.req.error = "kv page pool exhausted"
                 self._finish(i, s)
         active = [(i, s) for i, s in enumerate(self.slots)
                   if s.req is not None]
@@ -688,12 +935,19 @@ class BatchScheduler:
             self._step_speculative(active, tokens, pos, temps, top_ps,
                                    sub, n)
             return
-        attn_len = self._bucket(int(pos.max()) + n)
         t0 = time.perf_counter()
-        toks, self.cache = self._decode_chunk_b(
-            self.params, self.cache,
-            jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(temps),
-            jnp.asarray(top_ps), sub, n_steps=n, attn_len=attn_len)
+        if self.paged:
+            self._table_sync()
+            toks, self.cache = self._decode_chunk_paged(
+                self.params, self.cache, self._table_dev,
+                jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(temps),
+                jnp.asarray(top_ps), sub, n_steps=n)
+        else:
+            attn_len = self._bucket(int(pos.max()) + n)
+            toks, self.cache = self._decode_chunk_b(
+                self.params, self.cache,
+                jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(temps),
+                jnp.asarray(top_ps), sub, n_steps=n, attn_len=attn_len)
         arr = np.asarray(toks)  # (n, B)
         self.decode_seconds += time.perf_counter() - t0
         for i, s in active:
@@ -728,13 +982,20 @@ class BatchScheduler:
                 self._h_dev = self._h_row_set(self._h_dev, jnp.int32(i),
                                               jnp.asarray(row))
             self._h_dirty.clear()
-        attn_len = self._bucket(min(int(pos.max()) + n * (k + 1) + 1,
-                                    self.S))
+        if self.paged:
+            self._table_sync()
+            table = self._table_dev
+            attn_len = self.maxp * self.psz
+        else:
+            table = jnp.zeros((1, 1), jnp.int32)   # unused dummy
+            attn_len = self._bucket(min(int(pos.max()) + n * (k + 1) + 1,
+                                        self.S))
         t0 = time.perf_counter()
         out_buf, n_out, self.cache, self._h_dev, accs = self._spec_chunk_b(
             self.params, self.cache, self._h_dev,
             jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(temps),
-            jnp.asarray(top_ps), sub, n_steps=n, k=k, attn_len=attn_len)
+            jnp.asarray(top_ps), sub, table, n_steps=n, k=k,
+            attn_len=attn_len, paged=self.paged)
         arr = np.asarray(out_buf)            # (B, n*(k+1))
         counts = np.asarray(n_out)           # (B,)
         accs_np = np.asarray(accs)           # (n, B)

@@ -120,6 +120,40 @@ def main():
     outB.block_until_ready()
     print(f"batched int8: compile+run {time.time() - t0:.1f}s "
           f"finite={bool(jnp.isfinite(outB).all())}", flush=True)
+
+    # paged variant: page-table-driven BlockSpec index map (the scalar-
+    # prefetch translation is the one NEW Mosaic surface vs batched)
+    from lmrs_tpu.kernels.flash_attention import flash_decode_paged
+
+    psz = 512
+    maxp = S // psz
+    # identity-ish scattered layout: slot b's virtual block j -> pool page
+    perm = rng.permutation(np.arange(1, 1 + B * maxp))
+    tableB = np.zeros((B, maxp), np.int32)
+    kp = np.zeros((L, 1 + B * maxp, psz, KH * HD), np.float32)
+    vp = np.zeros_like(kp)
+    kb_np, vb_np = np.asarray(kb, np.float32), np.asarray(vb, np.float32)
+    idx = 0
+    for b in range(B):
+        for j in range(maxp):
+            pg = int(perm[idx]); idx += 1
+            tableB[b, j] = pg
+            kp[:, pg] = kb_np[:, j * psz:(j + 1) * psz]
+            vp[:, pg] = vb_np[:, j * psz:(j + 1) * psz]
+    kp = jnp.asarray(kp, jnp.bfloat16)
+    vp = jnp.asarray(vp, jnp.bfloat16)
+    refB = jax.jit(lambda q, k, v: flash_decode_batched(
+        q, k, v, jnp.int32(1), posB, n_kv=KH, attn_len=S,
+        scale=scale))(qB, kB, vB)
+    t0 = time.time()
+    outP = jax.jit(lambda q, k, v, t: flash_decode_paged(
+        q, k, v, t, jnp.int32(1), posB, n_kv=KH,
+        scale=scale))(qB, kp, vp, jnp.asarray(tableB))
+    outP.block_until_ready()
+    errP = float(jnp.max(jnp.abs(outP - refB)))
+    print(f"paged bf16: compile+run {time.time() - t0:.1f}s "
+          f"max|err vs batched|={errP:.4f}", flush=True)
+    assert errP < 3e-2, errP
     print("flash smoke OK", flush=True)
 
 

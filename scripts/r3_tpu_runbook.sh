@@ -46,6 +46,17 @@ LMRS_BENCH_CONFIG=gemma2-2b LMRS_BENCH_QUANT=q8_0 \
 LMRS_BENCH_CONFIG=llama3.2-1b LMRS_BENCH_QUANT=q8_0 LMRS_BENCH_BATCH=16 \
   run batched_b16 3600 python bench.py
 
+# 4b. PAGED KV cache at the same load (gemma-2b: flash-capable head_dim):
+#     contiguous baseline first, then the paged pool at half the rows the
+#     contiguous cache preallocates — same aggregate expected, half the
+#     cache memory (measures the paged kernel's overhead honestly)
+LMRS_BENCH_CONFIG=gemma2-2b LMRS_BENCH_QUANT=q8_0 LMRS_BENCH_BATCH=8 \
+LMRS_BENCH_MAX_CTX=2048 \
+  run batched_2b_contig 3600 python bench.py
+LMRS_BENCH_CONFIG=gemma2-2b LMRS_BENCH_QUANT=q8_0 LMRS_BENCH_BATCH=8 \
+LMRS_BENCH_MAX_CTX=2048 LMRS_BENCH_POOL=8192 \
+  run batched_2b_paged 3600 python bench.py
+
 if [ "$FLASH_OK" -eq 0 ]; then
   # 5. long context with the flash kernel: gemma-2b 32k, bf16 then int8
   #    (targets: pos-32k decode >= 80% of the 1k rate, was 59%)
