@@ -541,9 +541,7 @@ def flash_decode_paged(
         return sp[1 + 3 * B + b * maxp + vb]
 
     def _kv_idx(b, j, sp):
-        return (sp[0], _page(b, j, sp), 0, 0)
-
-    def _ks_idx(b, j, sp):
+        # pool and scale-pool blocks share the (layer, page, 0, 0) index
         return (sp[0], _page(b, j, sp), 0, 0)
 
     quantized = k_scale is not None
@@ -557,7 +555,7 @@ def flash_decode_paged(
     ]
     operands = [sp, qk, k_pool, v_pool]
     if quantized:
-        in_specs += [pl.BlockSpec((1, 1, kh, psz), _ks_idx,
+        in_specs += [pl.BlockSpec((1, 1, kh, psz), _kv_idx,
                                   memory_space=pltpu.VMEM)] * 2
         operands += [k_scale, v_scale]
 

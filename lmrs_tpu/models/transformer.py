@@ -786,33 +786,73 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         k_s3 = v_s3 = None
 
     if table is not None:
-        # paged pool: row r of slot i lands at virtual position pos[i]+t,
-        # physical page table[i, vp // psz], page row vp % psz.  Row-wise
-        # DUS keeps program size O(1); a chunk may straddle two pages.
+        # paged pool: slot i's t_q rows land at virtual positions
+        # pos[i]..pos[i]+t_q-1, physical page table[i, vp // psz], page
+        # row vp % psz.  Fast path: the whole window as ONE slab DUS when
+        # it fits a single page (t_q <= psz guarantees it straddles at
+        # most one boundary); the boundary case falls back to row-wise
+        # DUS.  Program size stays O(1) in B either way.
         psz = k_c.shape[2]
         kh = cfg.n_kv_heads
+        kd3p = kd.reshape(n_slots, t_q, kv_m)
+        vd3p = vd.reshape(n_slots, t_q, kv_m)
 
-        def _upd_row(r, kv):
-            kc, vc, ks, vs = kv
-            i = r // t_q
-            vp = pos[i] + (r % t_q)
-            pg = table[i, vp // psz]
-            off = vp % psz
-            kc = jax.lax.dynamic_update_slice(
-                kc, kd[r].reshape(1, 1, 1, kv_m), (layer_idx, pg, off, 0))
-            vc = jax.lax.dynamic_update_slice(
-                vc, vd[r].reshape(1, 1, 1, kv_m), (layer_idx, pg, off, 0))
-            if quant_kv:
-                # scale pools are (L, P, KH, psz)
-                ks = jax.lax.dynamic_update_slice(
-                    ks, k_srow[r].reshape(1, 1, kh, 1),
-                    (layer_idx, pg, 0, off))
-                vs = jax.lax.dynamic_update_slice(
-                    vs, v_srow[r].reshape(1, 1, kh, 1),
-                    (layer_idx, pg, 0, off))
-            return kc, vc, ks, vs
+        def _upd_slot(i, kv):
+            vp0 = pos[i]
+            pg0 = table[i, vp0 // psz]
+            off0 = vp0 % psz
 
-        k_c, v_c, k_s, v_s = jax.lax.fori_loop(0, b, _upd_row,
+            def slab(kv):
+                kc, vc, ks, vs = kv
+                krows = jax.lax.dynamic_slice_in_dim(kd3p, i, 1, 0) \
+                    .reshape(1, 1, t_q, kv_m)
+                vrows = jax.lax.dynamic_slice_in_dim(vd3p, i, 1, 0) \
+                    .reshape(1, 1, t_q, kv_m)
+                kc = jax.lax.dynamic_update_slice(
+                    kc, krows, (layer_idx, pg0, off0, 0))
+                vc = jax.lax.dynamic_update_slice(
+                    vc, vrows, (layer_idx, pg0, off0, 0))
+                if quant_kv:
+                    # scale pools are (L, P, KH, psz)
+                    ks = jax.lax.dynamic_update_slice(
+                        ks, jax.lax.dynamic_slice_in_dim(k_s3, i, 1, 0)
+                        .reshape(1, 1, kh, t_q),
+                        (layer_idx, pg0, 0, off0))
+                    vs = jax.lax.dynamic_update_slice(
+                        vs, jax.lax.dynamic_slice_in_dim(v_s3, i, 1, 0)
+                        .reshape(1, 1, kh, t_q),
+                        (layer_idx, pg0, 0, off0))
+                return kc, vc, ks, vs
+
+            def rows(kv):
+                def rw(r, kv):
+                    kc, vc, ks, vs = kv
+                    vp = pos[i] + r
+                    pg = table[i, vp // psz]
+                    off = vp % psz
+                    g = i * t_q + r
+                    kc = jax.lax.dynamic_update_slice(
+                        kc, kd[g].reshape(1, 1, 1, kv_m),
+                        (layer_idx, pg, off, 0))
+                    vc = jax.lax.dynamic_update_slice(
+                        vc, vd[g].reshape(1, 1, 1, kv_m),
+                        (layer_idx, pg, off, 0))
+                    if quant_kv:
+                        ks = jax.lax.dynamic_update_slice(
+                            ks, k_srow[g].reshape(1, 1, kh, 1),
+                            (layer_idx, pg, 0, off))
+                        vs = jax.lax.dynamic_update_slice(
+                            vs, v_srow[g].reshape(1, 1, kh, 1),
+                            (layer_idx, pg, 0, off))
+                    return kc, vc, ks, vs
+
+                return jax.lax.fori_loop(0, t_q, rw, kv)
+
+            if t_q == 1:
+                return slab(kv)          # one row never straddles
+            return jax.lax.cond(off0 + t_q <= psz, slab, rows, kv)
+
+        k_c, v_c, k_s, v_s = jax.lax.fori_loop(0, n_slots, _upd_slot,
                                                (k_c, v_c, k_s, v_s))
         from lmrs_tpu.kernels.flash_attention import flash_decode_paged
 

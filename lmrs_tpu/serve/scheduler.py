@@ -124,6 +124,16 @@ class BatchScheduler:
                 raise ValueError("the paged cache needs the fast kernel "
                                  "path and cache_head_dim % 128 == 0 "
                                  f"(got {cfg.cache_head_dim})")
+            # a query window must fit one page (the paged kernel's
+            # t_q <= psz contract): the largest window is the padded
+            # prefill chunk / the speculative verify width
+            pad_max = max(8, 1 << (prefill_chunk - 1).bit_length())
+            min_page = max(pad_max, speculative_k + 1)
+            if page_size < min_page or page_size % 8:
+                raise ValueError(
+                    f"page_size {page_size} too small: needs a multiple "
+                    f"of 8 that is >= the padded prefill chunk / "
+                    f"speculative window ({min_page})")
         self.cfg = cfg
         self.params = params
         # mesh mode: continuous batching over a Megatron tensor-parallel
@@ -201,7 +211,7 @@ class BatchScheduler:
             self.maxp = -(-(self.S + self._slack
                             + max(prefill_chunk, decode_chunk))
                           // page_size)
-            n_pages = max(2, -(-pool_tokens // page_size)) + 1  # +trash pg 0
+            n_pages = max(1, -(-pool_tokens // page_size)) + 1  # +trash pg 0
             self.n_pages = n_pages
             pool = (cfg.n_layers, n_pages, page_size, kv_m)
             ks = vs = None
@@ -573,6 +583,19 @@ class BatchScheduler:
     def free_pool_rows(self) -> int:
         return len(self._free_pages) * self.psz
 
+    def _pending_reserve_pages(self, exclude: int = -1) -> int:
+        """Pages the already-staged prefills will still claim: admission
+        must not hand the same free pages to two prompts (the staged one
+        would die with PoolExhausted mid-prefill instead of this one
+        deferring)."""
+        need = 0
+        for j, s in enumerate(self.slots):
+            if j == exclude or s.pending is None:
+                continue
+            rows = s.pos + (s.pending_x.shape[0] - s.pending_off) + 1
+            need += max(0, -(-rows // self.psz) - len(s.pages))
+        return need
+
     def _ensure_pages(self, slot_idx: int, rows: int) -> bool:
         """Grow the slot's page list to cover `rows` virtual rows; False
         if the pool is exhausted (already-allocated pages stay put)."""
@@ -630,15 +653,17 @@ class BatchScheduler:
         return True
 
     def _prefill_call(self, slot_idx: int, xt, pos: int, logit_idx: int,
-                      attn_len: int, want_logits: bool):
+                      attn_len: int, want_logits: bool, real_rows: int):
         """One prefill chunk into slot slot_idx (paged or contiguous);
         returns (logits|None, cache).  Raises PoolExhausted when the
-        paged pool can't cover the chunk's (padded) writes."""
+        paged pool can't cover the chunk's REAL rows — pad-overhang
+        writes land in unallocated table entries (the trash page), so
+        padding never costs a page."""
         if self.paged:
-            if not self._ensure_pages(slot_idx, pos + xt.shape[0]):
+            if not self._ensure_pages(slot_idx, pos + real_rows):
                 raise PoolExhausted(
                     f"slot {slot_idx}: no free pages for prefill rows "
-                    f"through {pos + xt.shape[0]}")
+                    f"through {pos + real_rows}")
             self._table_sync()
             trow = jax.lax.dynamic_slice_in_dim(self._table_dev,
                                                 slot_idx, 1, 0)
@@ -688,11 +713,17 @@ class BatchScheduler:
                 slot.tokens = []
             if self.paged:
                 need = slot.pos + len(req.prompt) + 1
-                have = (len(slot.pages) + len(self._free_pages)) * self.psz
+                # free pages minus what already-staged prefills will still
+                # claim (two prompts must not race for the same pages)
+                avail = (len(self._free_pages)
+                         - self._pending_reserve_pages(exclude=slot_idx))
+                have = len(slot.pages) * self.psz + avail * self.psz
                 if need > have:
                     # not enough pool right now: leave the request waiting
-                    # (pages free as other slots finish) — unless nothing
-                    # is running, in which case it can never fit
+                    # (pages free as other slots finish).  If nothing is
+                    # running or pending, nothing will free by itself —
+                    # fail rather than spin (idle leases may hold the
+                    # pool; releasing them is the caller's move).
                     if (self.active > 0
                             or any(s.pending is not None
                                    for s in self.slots)):
@@ -701,8 +732,18 @@ class BatchScheduler:
                         if req not in self.waiting:
                             continue
                         self.waiting.remove(req)
-                    req.error = ("prompt needs more kv-pool rows than the "
-                                 f"whole pool has ({need} > {have})")
+                    held = sum(len(s.pages) for j, s in
+                               enumerate(self.slots) if j != slot_idx)
+                    if held:
+                        req.error = (
+                            f"prompt needs {need} kv-pool rows but only "
+                            f"{have} are available ({held} pages held by "
+                            "idle conversations — end_conversation frees "
+                            "them)")
+                    else:
+                        req.error = ("prompt needs more kv-pool rows than "
+                                     f"the whole pool has ({need} > "
+                                     f"{have})")
                     if req.on_done is not None:
                         req.on_done(req.out)
                     continue
@@ -789,7 +830,7 @@ class BatchScheduler:
             last = off + chunk >= n
             logits, self.cache = self._prefill_call(
                 slot_idx, xt, pos, chunk - 1, attn_len,
-                want_logits and last)
+                want_logits and last, chunk)
             pos += chunk
             off += chunk
         # the slot's host history changed under the device-resident spec
@@ -820,7 +861,8 @@ class BatchScheduler:
             last = off + chunk >= n
             try:
                 logits, self.cache = self._prefill_call(
-                    slot_idx, xt, slot.pos, chunk - 1, attn_len, last)
+                    slot_idx, xt, slot.pos, chunk - 1, attn_len, last,
+                    chunk)
             except PoolExhausted:
                 req.error = "kv page pool exhausted mid-prefill"
                 slot.pending = None

@@ -264,3 +264,55 @@ def test_paged_prefix_fork_page_aligned(model):
     # forked slot released it — donor still holds it
     assert sched._page_refs[donor_pages[0]] == 1
     assert len(done["b"]) == 4
+
+
+def test_paged_pad_overhang_costs_no_page(model):
+    """Prefill pads chunks to pow-2, but pad rows land in the trash page:
+    a turn whose REAL rows fit the slot's held page must not demand a
+    second page (review finding: padded _ensure_pages killed exactly-
+    fitting turns with PoolExhausted)."""
+    cfg, params = model
+    # pool of exactly 2 pages; two leases each permanently hold one
+    sched = _sched(cfg, params, paged=True, page_size=64, pool_tokens=128,
+                   max_batch=2)
+    la = sched.new_conversation()
+    lb = sched.new_conversation()
+    done = {}
+    sched.submit(list(np.arange(1, 53) % 200), max_new_tokens=5, lease=la,
+                 on_done=lambda o: done.setdefault("a", o))
+    sched.submit([1, 2, 3], max_new_tokens=4, lease=lb,
+                 on_done=lambda o: done.setdefault("b", o))
+    sched.run()
+    assert len(done["a"]) == 5, done
+    # lease A sits at pos 56; free pages = 0.  A 4-token turn (padded to
+    # 8 rows, crossing nothing real) must still run: rows 56..60 fit A's
+    # page, the pad overhang is trash-paged
+    sched.submit([9, 8, 7, 6], max_new_tokens=1, lease=la,
+                 on_done=lambda o: done.setdefault("a2", o))
+    sched.run()
+    assert "a2" in done and len(done["a2"]) == 1, done
+
+
+def test_paged_admission_reserves_staged_prefills(model):
+    """Two prompts submitted together must not race for the same free
+    pages: the second defers until the first finishes (review finding:
+    both were staged and the FIRST died with PoolExhausted)."""
+    cfg, params = model
+    sched = _sched(cfg, params, paged=True, page_size=64, pool_tokens=128,
+                   max_batch=2, max_ctx=128)
+    done = {}
+    reqs = [sched.submit(list(np.arange(2 + i, 102 + i) % 200),
+                         max_new_tokens=4,
+                         on_done=lambda o, i=i: done.setdefault(i, o))
+            for i in range(2)]
+    sched.run()
+    assert sorted(done.keys()) == [0, 1]
+    assert all(r.error is None for r in reqs), [r.error for r in reqs]
+    assert all(len(done[i]) == 4 for i in range(2)), done
+
+
+def test_paged_rejects_small_page_size(model):
+    cfg, params = model
+    with pytest.raises(ValueError, match="page_size"):
+        BatchScheduler(cfg, params, pool_tokens=256, page_size=32,
+                       prefill_chunk=64)
