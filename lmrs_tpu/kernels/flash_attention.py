@@ -309,7 +309,8 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
                           n_blk: int, s_blk: int, kh: int, gt: int,
                           t_q: int, hd: int, scale: float,
                           softcap: Optional[float],
-                          window: Optional[int], quantized: bool = False):
+                          window: Optional[int], quantized: bool = False,
+                          packed4: bool = False):
     """Batched variant: grid (B, n_blk), per-slot pos/start/last_live
     scalar-prefetched (sp layout: [layer, start_0..start_{B-1},
     pos_0..pos_{B-1}, last_0..last_{B-1}]).  Dead blocks past a slot's
@@ -342,7 +343,7 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
                 vs_ref[0, 0][h] if quantized else None,
                 m_scr, l_scr, acc_scr, valid=valid, win_add=win_add,
                 scale=scale, softcap=softcap, quantized=quantized,
-                packed4=False, hd=hd)
+                packed4=packed4, hd=hd)
 
     @pl.when(j == n_blk - 1)
     def _():
@@ -478,6 +479,7 @@ def flash_decode_paged(
     interpret: Optional[bool] = None,
     k_scale: Optional[jax.Array] = None,   # (L, P, KH, psz) f32 — int8 pool
     v_scale: Optional[jax.Array] = None,
+    packed4: bool = False,                 # int4 pool: nibble-packed bytes
 ) -> jax.Array:
     """Paged attention: flash_decode_batched over a SHARED page pool.
 
@@ -513,8 +515,9 @@ def flash_decode_paged(
     kh = n_kv
     g = n_heads // kh
     gt = g * t_q
-    assert hd % 128 == 0
-    assert k_pool.shape[-1] == kh * hd
+    hd_b = hd // 2 if packed4 else hd   # per-head pool lane width
+    assert hd_b % 128 == 0
+    assert k_pool.shape[-1] == kh * hd_b
     assert t_q <= psz, (t_q, psz)   # a query window straddles <= 2 pages
 
     # virtual sequence = the page-table span; pages are the blocks
@@ -548,9 +551,9 @@ def flash_decode_paged(
     in_specs = [
         pl.BlockSpec((1, kh, gt, hd), lambda b, j, sp: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, psz, kh * hd), _kv_idx,
+        pl.BlockSpec((1, 1, psz, kh * hd_b), _kv_idx,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, psz, kh * hd), _kv_idx,
+        pl.BlockSpec((1, 1, psz, kh * hd_b), _kv_idx,
                      memory_space=pltpu.VMEM),
     ]
     operands = [sp, qk, k_pool, v_pool]
@@ -576,7 +579,7 @@ def flash_decode_paged(
         functools.partial(_flash_kernel_batched, n_blk=n_blk, s_blk=psz,
                           kh=kh, gt=gt, t_q=t_q, hd=hd, scale=scale,
                           softcap=softcap, window=window,
-                          quantized=quantized),
+                          quantized=quantized, packed4=packed4),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, kh, gt, hd), jnp.float32),
         compiler_params=pltpu.CompilerParams(

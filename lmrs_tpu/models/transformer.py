@@ -773,8 +773,17 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
 
     kv_m = cfg.n_kv_heads * cfg.cache_head_dim
     quant_kv = k_c.dtype == jnp.int8
+    # int4 pool (paged only): int8-dtype storage at HALF the lane width,
+    # nibble-packed by quantize_kv_rows_q4
+    packed4 = (table is not None and quant_kv
+               and k_c.shape[-1] == kv_m // 2)
     n_slots = b // t_q
-    if quant_kv:
+    if packed4:
+        kd, k_srow = quantize_kv_rows_q4(k)     # (B*T, kv_m/2), (B*T, KH)
+        vd, v_srow = quantize_kv_rows_q4(v)
+        k_s3 = k_srow.reshape(n_slots, t_q, -1).transpose(0, 2, 1)
+        v_s3 = v_srow.reshape(n_slots, t_q, -1).transpose(0, 2, 1)
+    elif quant_kv:
         kd, k_srow = quantize_kv_rows(k)        # (B*T, kv_m), (B*T, KH)
         vd, v_srow = quantize_kv_rows(v)
         # (n_slots, KH, t_q) transposed slabs for the seq-last scale planes
@@ -794,8 +803,9 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         # DUS.  Program size stays O(1) in B either way.
         psz = k_c.shape[2]
         kh = cfg.n_kv_heads
-        kd3p = kd.reshape(n_slots, t_q, kv_m)
-        vd3p = vd.reshape(n_slots, t_q, kv_m)
+        kv_w = kd.shape[-1]              # kv_m, or kv_m/2 nibble-packed
+        kd3p = kd.reshape(n_slots, t_q, kv_w)
+        vd3p = vd.reshape(n_slots, t_q, kv_w)
 
         def _upd_slot(i, kv):
             vp0 = pos[i]
@@ -805,9 +815,9 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
             def slab(kv):
                 kc, vc, ks, vs = kv
                 krows = jax.lax.dynamic_slice_in_dim(kd3p, i, 1, 0) \
-                    .reshape(1, 1, t_q, kv_m)
+                    .reshape(1, 1, t_q, kv_w)
                 vrows = jax.lax.dynamic_slice_in_dim(vd3p, i, 1, 0) \
-                    .reshape(1, 1, t_q, kv_m)
+                    .reshape(1, 1, t_q, kv_w)
                 kc = jax.lax.dynamic_update_slice(
                     kc, krows, (layer_idx, pg0, off0, 0))
                 vc = jax.lax.dynamic_update_slice(
@@ -832,10 +842,10 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
                     off = vp % psz
                     g = i * t_q + r
                     kc = jax.lax.dynamic_update_slice(
-                        kc, kd[g].reshape(1, 1, 1, kv_m),
+                        kc, kd[g].reshape(1, 1, 1, kv_w),
                         (layer_idx, pg, off, 0))
                     vc = jax.lax.dynamic_update_slice(
-                        vc, vd[g].reshape(1, 1, 1, kv_m),
+                        vc, vd[g].reshape(1, 1, 1, kv_w),
                         (layer_idx, pg, off, 0))
                     if quant_kv:
                         ks = jax.lax.dynamic_update_slice(
@@ -861,7 +871,8 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         att = flash_decode_paged(
             qf, k_c, v_c, table, layer_idx, pos, n_kv=cfg.n_kv_heads,
             scale=cfg.attn_scale, softcap=cfg.attn_logit_softcap,
-            window=cfg.sliding_window, k_scale=k_s, v_scale=v_s)
+            window=cfg.sliding_window, k_scale=k_s, v_scale=v_s,
+            packed4=packed4)
         if t_q > 1:
             att = att.reshape(b, cfg.n_heads, cfg.cache_head_dim)
         if hd_pad:

@@ -108,9 +108,10 @@ class BatchScheduler:
                  speculative_k: int = 0, mesh=None, param_spec=None,
                  page_size: int = 512,
                  pool_tokens: Optional[int] = None):
-        if cache_dtype == "int4":
-            raise ValueError("the int4 KV cache is single-stream only; "
-                             "use int8 for the batched scheduler")
+        if cache_dtype == "int4" and pool_tokens is None:
+            raise ValueError("the batched int4 KV cache is paged-only "
+                             "(pass pool_tokens=...); use int8 for the "
+                             "contiguous batched cache")
         # paged mode: the KV cache is a SHARED page pool + per-slot page
         # tables instead of a preallocated (B, L, S, ...) block — memory
         # is sum-of-contexts (pool_tokens rows), not B x max-context.
@@ -123,6 +124,10 @@ class BatchScheduler:
             if cfg.matmul_impl != "fast" or cfg.cache_head_dim % 128:
                 raise ValueError("the paged cache needs the fast kernel "
                                  "path and cache_head_dim % 128 == 0 "
+                                 f"(got {cfg.cache_head_dim})")
+            if cache_dtype == "int4" and cfg.cache_head_dim % 256:
+                raise ValueError("the int4 pool's in-kernel nibble unpack "
+                                 "needs cache_head_dim % 256 == 0 "
                                  f"(got {cfg.cache_head_dim})")
             # a query window must fit one page (the paged kernel's
             # t_q <= psz contract): the largest window is the padded
@@ -213,14 +218,17 @@ class BatchScheduler:
                           // page_size)
             n_pages = max(1, -(-pool_tokens // page_size)) + 1  # +trash pg 0
             self.n_pages = n_pages
-            pool = (cfg.n_layers, n_pages, page_size, kv_m)
+            packed4 = cache_dtype == "int4"
+            store = jnp.int8 if packed4 else cache_dtype
+            pool = (cfg.n_layers, n_pages, page_size,
+                    kv_m // 2 if packed4 else kv_m)
             ks = vs = None
-            if cache_dtype == jnp.int8:
+            if store == jnp.int8:
                 sshape = (cfg.n_layers, n_pages, cfg.n_kv_heads, page_size)
                 ks = jnp.zeros(sshape, jnp.float32)
                 vs = jnp.zeros(sshape, jnp.float32)
-            self.cache = KVCache(k=jnp.zeros(pool, cache_dtype),
-                                 v=jnp.zeros(pool, cache_dtype),
+            self.cache = KVCache(k=jnp.zeros(pool, store),
+                                 v=jnp.zeros(pool, store),
                                  k_scale=ks, v_scale=vs)
             self._table = np.zeros((self.B, self.maxp), np.int32)
             self._table_dev = jnp.asarray(self._table)

@@ -316,3 +316,42 @@ def test_paged_rejects_small_page_size(model):
     with pytest.raises(ValueError, match="page_size"):
         BatchScheduler(cfg, params, pool_tokens=256, page_size=32,
                        prefill_chunk=64)
+
+
+def test_paged_int4_pool_matches_engine(model):
+    """int4 paged pool (nibble-packed pages, half the lanes): greedy
+    tokens match the single-stream engine's int4 cache (the same
+    quantize-rows + in-kernel unpack math, paged vs stacked kernel)."""
+    from lmrs_tpu.runtime.engine import Engine, GenerationConfig
+
+    cfg = tiny_config(ModelType.GEMMA, QuantType.Q8_0, dim=128,
+                      hidden_dim=256, n_layers=2, n_heads=2, n_kv_heads=2,
+                      head_dim=256, vocab_size=256, group_size=32,
+                      seq_len=256, matmul_impl="fast")
+    params = params_from_weights(cfg, random_weights(cfg, seed=9),
+                                 stack_layers=True, fuse_qkv=True)
+    prompt = [1, 5, 9, 2]
+    eng = Engine(cfg, params, cache_dtype="int4", min_attn_bucket=32,
+                 prefill_chunk=8, decode_chunk=4)
+    want = eng.generate(prompt, GenerationConfig(temperature=0.0,
+                                                 max_new_tokens=N_NEW))
+
+    sched = BatchScheduler(cfg, params, max_batch=2, max_ctx=128,
+                           cache_dtype="int4", prefill_chunk=8,
+                           decode_chunk=4, min_attn_bucket=32,
+                           temperature=0.0, page_size=64,
+                           pool_tokens=256)
+    done = {}
+    sched.submit(prompt, max_new_tokens=N_NEW,
+                 on_done=lambda o: done.setdefault("x", o))
+    sched.run()
+    assert done["x"] == want, (done["x"], want)
+    # int4 pool really is half the lanes
+    kv_m = cfg.n_kv_heads * cfg.cache_head_dim
+    assert sched.cache.k.shape[-1] == kv_m // 2
+
+
+def test_paged_int4_requires_wide_heads(model):
+    cfg, params = model   # cache_head_dim = 128
+    with pytest.raises(ValueError, match="256"):
+        BatchScheduler(cfg, params, cache_dtype="int4", pool_tokens=256)

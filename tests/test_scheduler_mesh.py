@@ -178,3 +178,31 @@ def test_mesh_scheduler_rejects_cp():
     with pytest.raises(ValueError, match="tp only"):
         BatchScheduler(cfg, params, mesh=mesh, param_spec=jax.tree.map(
             lambda a: None, params))
+
+
+def test_mesh_scheduler_prefill_embeds():
+    """A float embedding prefix (multimodal image path) into a mesh
+    scheduler's leased slot: token-exact vs the single-device scheduler."""
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, **KW)
+    weights = random_weights(cfg, seed=29)
+    embeds = np.random.default_rng(1).normal(
+        size=(6, cfg.dim)).astype(np.float32)
+
+    def run(sched):
+        done = {}
+        lease = sched.new_conversation()
+        sched.prefill_embeds(lease, embeds)
+        sched.submit(PROMPTS[0], max_new_tokens=8, lease=lease,
+                     on_done=lambda o: done.setdefault("x", o))
+        sched.run()
+        return done["x"]
+
+    params = params_from_weights(cfg, weights, stack_layers=True,
+                                 fuse_qkv=True)
+    want = run(BatchScheduler(cfg, params, max_batch=4, max_ctx=64,
+                              cache_dtype=jnp.float32, prefill_chunk=8,
+                              decode_chunk=4, min_attn_bucket=32,
+                              temperature=0.0))
+    got = run(_mesh_sched(cfg, weights, tp=2, max_batch=4,
+                          temperature=0.0))
+    assert got == want, (got, want)
