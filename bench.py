@@ -296,15 +296,15 @@ def bench_batched(f, params, config_name, quant_name, batch, n_tokens,
     from lmrs_tpu.runtime.engine import CACHE_DTYPES
     cache_dtype = CACHE_DTYPES[os.environ.get("LMRS_BENCH_KV", "bfloat16")]
     if tp > 1:
-        if pool:
-            raise ValueError("LMRS_BENCH_POOL is single-device (no tp)")
         from lmrs_tpu.parallel.tp import make_mesh_scheduler
 
-        log(f"mesh scheduler: tp={tp} over {jax.devices()[:tp]}")
+        log(f"mesh scheduler: tp={tp} over {jax.devices()[:tp]}"
+            + (f", paged pool {pool}" if pool else ""))
         sched = make_mesh_scheduler(f, tp=tp, max_batch=batch,
                                     max_ctx=min(max_ctx, cfg.seq_len),
                                     cache_dtype=cache_dtype,
-                                    decode_chunk=16, temperature=0.0)
+                                    decode_chunk=16, temperature=0.0,
+                                    pool_tokens=pool, page_size=page)
     else:
         if pool:
             log(f"paged kv cache: {pool}-row pool, {page}-row pages")

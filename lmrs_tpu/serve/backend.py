@@ -75,9 +75,10 @@ class BackendServer:
                                               fuse_ffn=False)
         self.cfg = self.file.cfg
         self.tp, self.cp = tp, cp
-        if pool_tokens is not None and (batch == 0 or tp > 1 or cp > 1):
+        if pool_tokens is not None and (batch == 0 or cp > 1):
             raise ValueError("--pool-tokens (paged KV cache) requires "
-                             "--batch and is single-device")
+                             "--batch; --cp is not supported (pages are "
+                             "head-sharded, not sequence-sharded)")
         self._mesh_engine_proto = None
         self._mesh_scheduler = None
         if tp > 1 or cp > 1:
@@ -101,7 +102,8 @@ class BackendServer:
                     cache_dtype=CACHE_DTYPES[cache_dtype],
                     temperature=temperature, top_p=top_p,
                     seed=seed if seed is not None else 0,
-                    speculative_k=spec_k)
+                    speculative_k=spec_k, pool_tokens=pool_tokens,
+                    page_size=page_size)
                 self.params = self._mesh_scheduler.params
             else:
                 from lmrs_tpu.parallel.tp import make_mesh_engine

@@ -118,9 +118,6 @@ class BatchScheduler:
         # Attention always runs the paged flash kernel (page == block).
         self.paged = pool_tokens is not None
         if self.paged:
-            if mesh is not None:
-                raise ValueError("the paged scheduler is single-device "
-                                 "(use the contiguous cache with --tp)")
             if cfg.matmul_impl != "fast" or cfg.cache_head_dim % 128:
                 raise ValueError("the paged cache needs the fast kernel "
                                  "path and cache_head_dim % 128 == 0 "
@@ -197,8 +194,13 @@ class BatchScheduler:
         # scale planes (B, L, KH, S) with kv heads on tp
         tpa = "tp" if tp > 1 else None
         from jax.sharding import PartitionSpec as P
+        # the SAME specs serve both layouts: contiguous (B, L, S, KH·hd)
+        # and paged pool (L, P, psz, KH·hd) put merged head-lanes last
+        # (the lane split IS the head split), and both scale layouts put
+        # KH on axis 2
         val_p = P(None, None, None, tpa)
-        scl_p = P(None, None, tpa, None) if cache_dtype == jnp.int8 else None
+        scl_p = (P(None, None, tpa, None)
+                 if cache_dtype in (jnp.int8, "int4") else None)
         cache_pspec = KVCache(val_p, val_p, scl_p, scl_p)
 
         def _put(a, spec):
@@ -225,10 +227,10 @@ class BatchScheduler:
             ks = vs = None
             if store == jnp.int8:
                 sshape = (cfg.n_layers, n_pages, cfg.n_kv_heads, page_size)
-                ks = jnp.zeros(sshape, jnp.float32)
-                vs = jnp.zeros(sshape, jnp.float32)
-            self.cache = KVCache(k=jnp.zeros(pool, store),
-                                 v=jnp.zeros(pool, store),
+                ks = _put(jnp.zeros(sshape, jnp.float32), scl_p)
+                vs = _put(jnp.zeros(sshape, jnp.float32), scl_p)
+            self.cache = KVCache(k=_put(jnp.zeros(pool, store), val_p),
+                                 v=_put(jnp.zeros(pool, store), val_p),
                                  k_scale=ks, v_scale=vs)
             self._table = np.zeros((self.B, self.maxp), np.int32)
             self._table_dev = jnp.asarray(self._table)
@@ -456,13 +458,28 @@ class BatchScheduler:
                 a t_q-token window of ONE slot (forward_batched with a
                 single lane — pages make per-slot cache views unnecessary).
                 Returns (last-real-row logits | None, cache)."""
-                logits, new = forward_batched(
-                    params, cfg, cache, x, pos, virt, t_q=x.shape[0],
-                    table=table_row, want_logits=want_logits)
-                if not want_logits:
-                    return None, new
-                row = jax.lax.dynamic_slice_in_dim(logits, logit_idx, 1, 0)
-                return row[0], new
+                def body(params, cache, x, table_row, pos, logit_idx):
+                    logits, new = forward_batched(
+                        params, cfg_l, cache, x, pos, virt, t_q=x.shape[0],
+                        table=table_row, want_logits=want_logits)
+                    if not want_logits:
+                        return new
+                    row = jax.lax.dynamic_slice_in_dim(logits, logit_idx,
+                                                       1, 0)
+                    return row[0], new
+
+                if want_logits:
+                    return smap(body,
+                                (param_spec, cache_pspec, P(), P(), P(),
+                                 P()),
+                                (P(), cache_pspec))(params, cache, x,
+                                                    table_row, pos,
+                                                    logit_idx)
+                return None, smap(body,
+                                  (param_spec, cache_pspec, P(), P(), P(),
+                                   P()),
+                                  cache_pspec)(params, cache, x, table_row,
+                                               pos, logit_idx)
 
             self._prefill_paged = _prefill_paged
 
@@ -470,18 +487,26 @@ class BatchScheduler:
                      donate_argnames=("cache",))
             def _decode_chunk_paged(params, cache, table, tokens, pos,
                                     temps, top_ps, key, n_steps):
-                def step(carry, _):
-                    toks, p, cache, key = carry
-                    x = embed_tokens(params, cfg, toks)
-                    logits, cache = forward_batched(params, cfg, cache, x,
-                                                    p, virt, table=table)
-                    key, sub = jax.random.split(key)
-                    nxt = sample_batched(logits, temps, top_ps, sub)
-                    return (nxt, p + 1, cache, key), nxt
+                def body(params, cache, table, tokens, pos, temps, top_ps,
+                         key):
+                    def step(carry, _):
+                        toks, p, cache, key = carry
+                        x = embed_tokens(params, cfg_l, toks)
+                        logits, cache = forward_batched(
+                            params, cfg_l, cache, x, p, virt, table=table)
+                        key, sub = jax.random.split(key)
+                        nxt = sample_batched(logits, temps, top_ps, sub)
+                        return (nxt, p + 1, cache, key), nxt
 
-                (toks, p, cache, key), all_toks = jax.lax.scan(
-                    step, (tokens, pos, cache, key), length=n_steps)
-                return all_toks, cache
+                    (toks, p, cache, key), all_toks = jax.lax.scan(
+                        step, (tokens, pos, cache, key), length=n_steps)
+                    return all_toks, cache
+                return smap(body,
+                            (param_spec, cache_pspec, P(), P(), P(), P(),
+                             P(), P()),
+                            (P(), cache_pspec))(params, cache, table,
+                                                tokens, pos, temps,
+                                                top_ps, key)
 
             self._decode_chunk_paged = _decode_chunk_paged
 
@@ -489,22 +514,28 @@ class BatchScheduler:
             def _copy_page_partial(cache, src_pg, dst_pg, n_rows):
                 """Copy rows [0, n_rows) of pool page src_pg into dst_pg
                 (all layers; one masked pass per plane) — the boundary-
-                page copy of a paged prefix fork."""
-                def cp(a, seq_axis):
-                    # pools (L, P, psz, kv_m): rows on axis 2;
-                    # scale pools (L, P, KH, psz): rows on axis 3
-                    if a is None:
-                        return None
-                    src = jax.lax.dynamic_slice_in_dim(a, src_pg, 1, 1)
-                    dst = jax.lax.dynamic_slice_in_dim(a, dst_pg, 1, 1)
-                    shp = [1, 1, 1, 1]
-                    shp[seq_axis] = a.shape[seq_axis]
-                    mask = (jnp.arange(a.shape[seq_axis])
-                            < n_rows).reshape(shp)
-                    return jax.lax.dynamic_update_slice_in_dim(
-                        a, jnp.where(mask, src, dst), dst_pg, 1)
-                return KVCache(cp(cache.k, 2), cp(cache.v, 2),
-                               cp(cache.k_scale, 3), cp(cache.v_scale, 3))
+                page copy of a paged prefix fork.  Mesh mode: per-shard
+                on the local head lanes (the copy is elementwise along
+                the page-row axis)."""
+                def body(cache, src_pg, dst_pg, n_rows):
+                    def cp(a, seq_axis):
+                        # pools (L, P, psz, kv_m): rows on axis 2;
+                        # scale pools (L, P, KH, psz): rows on axis 3
+                        if a is None:
+                            return None
+                        src = jax.lax.dynamic_slice_in_dim(a, src_pg, 1, 1)
+                        dst = jax.lax.dynamic_slice_in_dim(a, dst_pg, 1, 1)
+                        shp = [1, 1, 1, 1]
+                        shp[seq_axis] = a.shape[seq_axis]
+                        mask = (jnp.arange(a.shape[seq_axis])
+                                < n_rows).reshape(shp)
+                        return jax.lax.dynamic_update_slice_in_dim(
+                            a, jnp.where(mask, src, dst), dst_pg, 1)
+                    return KVCache(cp(cache.k, 2), cp(cache.v, 2),
+                                   cp(cache.k_scale, 3),
+                                   cp(cache.v_scale, 3))
+                return smap(body, (cache_pspec, P(), P(), P()),
+                            cache_pspec)(cache, src_pg, dst_pg, n_rows)
 
             self._copy_page_partial = _copy_page_partial
 

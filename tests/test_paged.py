@@ -355,3 +355,38 @@ def test_paged_int4_requires_wide_heads(model):
     cfg, params = model   # cache_head_dim = 128
     with pytest.raises(ValueError, match="256"):
         BatchScheduler(cfg, params, cache_dtype="int4", pool_tokens=256)
+
+
+def test_paged_tp_mesh(model):
+    """Paged pool x tensor parallelism: the pool's merged head-lane axis
+    shards on tp exactly like the contiguous cache (local pools hold the
+    local heads' lanes of the SAME page ids; the table replicates).
+    Token-exact vs the single-device paged scheduler."""
+    import jax
+    from jax.sharding import Mesh
+    from lmrs_tpu.io.params import _quantize_dense
+    from lmrs_tpu.parallel.tp import build_tp_params_stacked
+
+    cfg, params = model
+    weights = random_weights(cfg, seed=3)   # same seed as `model`
+    want = _run(_sched(cfg, params, paged=True))
+
+    tensors = {}
+    for name, w in weights.items():
+        base = name.split("@")[0]
+        if base in ("embed", "wq", "wk", "wv", "wo", "w1", "w2", "w3",
+                    "lm_head"):
+            tensors[name] = _quantize_dense(cfg, w)
+        else:
+            tensors[name] = (w.astype(np.float32), None)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("tp",))
+    tp_params, spec = build_tp_params_stacked(cfg, tensors, mesh)
+    sched = BatchScheduler(cfg, tp_params, mesh=mesh, param_spec=spec,
+                           max_batch=4, max_ctx=128,
+                           cache_dtype=jnp.float32, prefill_chunk=8,
+                           decode_chunk=4, min_attn_bucket=32,
+                           temperature=0.0, page_size=64,
+                           pool_tokens=4 * 128)
+    got = _run(sched)
+    assert got == want, (got, want)
+    assert len(sched._free_pages) == sched.n_pages - 1
