@@ -149,6 +149,20 @@ class BackendServer:
                     pool_tokens=pool_tokens, page_size=page_size)
             self.scheduler = SchedulerThread(sched)
 
+    def warmup(self):
+        """Precompile the serving programs before taking traffic (the CLI
+        does this by default; library users and tests opt in).  Batch
+        mode warms the shared scheduler; engine mode warms one engine —
+        its compiled programs are shared by every connection
+        (engine._compiled_fns / _mesh_fns_cached)."""
+        import time
+        t0 = time.time()
+        if self.scheduler is not None:
+            self.scheduler.call(self.scheduler.sched.warmup)
+        else:
+            self._new_engine().warmup(spec_k=self.spec_k)
+        print(f"Warmup (compile): {time.time() - t0:.1f}s", flush=True)
+
     def _new_engine(self):
         from lmrs_tpu.runtime.engine import Engine
 
@@ -465,6 +479,10 @@ def main(argv=None):
                         "batch x max-ctx)")
     p.add_argument("--page-size", dest="page_size", type=int, default=512,
                    help="paged-cache page rows (= flash block size)")
+    p.add_argument("--no-warmup", dest="no_warmup", action="store_true",
+                   help="skip precompiling the serving programs at "
+                        "startup (the first request then pays every "
+                        "compile)")
     args = p.parse_args(argv)
 
     from lmrs_tpu.runtime.compile_cache import enable_compilation_cache
@@ -476,6 +494,8 @@ def main(argv=None):
                            tp=args.tp, cp=args.cp, spec_k=args.spec_k,
                            pool_tokens=args.pool_tokens,
                            page_size=args.page_size)
+    if not args.no_warmup:
+        server.warmup()
     try:
         asyncio.run(server.serve(args.ip, args.port))
     except KeyboardInterrupt:

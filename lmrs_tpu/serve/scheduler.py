@@ -1092,6 +1092,69 @@ class BatchScheduler:
             if s.req is not None or s.lease is not None:
                 s.pos = pos_before + used
 
+    def warmup(self):
+        """Precompile every program serving can reach — per-slot prefill
+        (both want_logits variants), the (speculative) decode chunk at
+        every attention bucket, paged or contiguous — so the first
+        connection never hits a remote-compile stall mid-request
+        (minutes through the axon tunnel; see Engine.warmup).  Cache rows
+        written here are causally dead; call before taking traffic."""
+        x = jnp.zeros((self.prefill_chunk, self.cfg.dim), jnp.float32)
+        toks = jnp.zeros((self.B,), jnp.int32)
+        pos = jnp.zeros((self.B,), jnp.int32)
+        temps = jnp.zeros((self.B,), jnp.float32)
+        top_ps = jnp.full((self.B,), 0.9, jnp.float32)
+        key = jax.random.PRNGKey(0)
+        n = self.decode_chunk
+        h0 = jnp.full((self.B, self.S + self._slack), -1, jnp.int32)
+
+        def spec_or_decode(attn_len):
+            if self.spec_k:
+                table = (self._table_dev if self.paged
+                         else jnp.zeros((1, 1), jnp.int32))
+                out = self._spec_chunk_b(
+                    self.params, self.cache, h0, toks, pos, temps, top_ps,
+                    key, table, n_steps=n, k=self.spec_k,
+                    attn_len=attn_len, paged=self.paged)
+                self.cache = out[2]
+            elif self.paged:
+                _, self.cache = self._decode_chunk_paged(
+                    self.params, self.cache, self._table_dev, toks, pos,
+                    temps, top_ps, key, n_steps=n)
+            else:
+                _, self.cache = self._decode_chunk_b(
+                    self.params, self.cache, toks, pos, temps, top_ps,
+                    key, n_steps=n, attn_len=attn_len)
+
+        if self.paged:
+            if not self._ensure_pages(0, self.prefill_chunk):
+                return  # pool smaller than one chunk: nothing to warm
+            self._table_sync()
+            for wl in (False, True):
+                _, self.cache = self._prefill_call(
+                    0, x, 0, self.prefill_chunk - 1, 0, wl,
+                    self.prefill_chunk)
+            spec_or_decode(self.maxp * self.psz)
+            self._free_slot_pages(0)
+            return
+        seen = set()
+        first_prefill_bucket = self._bucket(self.prefill_chunk)
+        b = self._bucket(1)
+        while True:
+            if b not in seen:
+                seen.add(b)
+                if b >= first_prefill_bucket:
+                    # a full prefill chunk's bucket is always >= the
+                    # chunk; smaller buckets only ever run decode
+                    for wl in (False, True):
+                        _, self.cache = self._prefill_call(
+                            0, x, 0, self.prefill_chunk - 1, b, wl,
+                            self.prefill_chunk)
+                spec_or_decode(b)
+            if b >= self.S:
+                break
+            b = self._bucket(b + 1)
+
     def run(self, poll: Optional[Callable[[], bool]] = None):
         """Drive until no work remains (poll() False stops early)."""
         while self.has_work():

@@ -390,3 +390,17 @@ def test_paged_tp_mesh(model):
     got = _run(sched)
     assert got == want, (got, want)
     assert len(sched._free_pages) == sched.n_pages - 1
+
+
+def test_paged_warmup_state_neutral(model):
+    """Paged warmup precompiles, returns its scratch pages, and leaves
+    token streams unchanged."""
+    cfg, params = model
+    want = _run(_sched(cfg, params, paged=True))
+    sched = _sched(cfg, params, paged=True, speculative_k=2)
+    sched.warmup()
+    assert len(sched._free_pages) == sched.n_pages - 1
+    sched2 = _sched(cfg, params, paged=True)
+    sched2.warmup()
+    got = _run(sched2)
+    assert got == want, (got, want)

@@ -511,3 +511,31 @@ def test_speculative_context_guard(model):
     assert "a" in done and len(done["a"]) >= 1
     # the slot stopped before its verify windows could cross S
     assert all(s.pos <= sched.S for s in sched.slots)
+
+
+def test_warmup_is_state_neutral(model):
+    """scheduler.warmup() precompiles the serving programs without
+    changing any observable behavior: tokens after warmup match a cold
+    scheduler's exactly."""
+    cfg, params = model
+    cold = BatchScheduler(cfg, params, max_batch=4, max_ctx=64,
+                          cache_dtype=jnp.float32, prefill_chunk=8,
+                          decode_chunk=4, min_attn_bucket=32,
+                          temperature=0.0)
+    done_cold = {}
+    for i, p in enumerate(PROMPTS):
+        cold.submit(p, max_new_tokens=N_NEW,
+                    on_done=lambda o, i=i: done_cold.setdefault(i, o))
+    cold.run()
+
+    warm = BatchScheduler(cfg, params, max_batch=4, max_ctx=64,
+                          cache_dtype=jnp.float32, prefill_chunk=8,
+                          decode_chunk=4, min_attn_bucket=32,
+                          temperature=0.0)
+    warm.warmup()
+    done_warm = {}
+    for i, p in enumerate(PROMPTS):
+        warm.submit(p, max_new_tokens=N_NEW,
+                    on_done=lambda o, i=i: done_warm.setdefault(i, o))
+    warm.run()
+    assert done_warm == done_cold, (done_warm, done_cold)
