@@ -126,6 +126,10 @@ def main(argv=None):
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--cp", type=int, default=1)
     p.add_argument("--spec-k", dest="spec_k", type=int, default=0)
+    p.add_argument("--pool-tokens", dest="pool_tokens", type=int,
+                   default=None)
+    p.add_argument("--page-size", dest="page_size", type=int, default=512)
+    p.add_argument("--no-warmup", dest="no_warmup", action="store_true")
     args = p.parse_args(argv)
 
     from lmrs_tpu.serve.backend import BackendServer
@@ -134,7 +138,11 @@ def main(argv=None):
                            args.top_p, args.seed, args.multimodal,
                            args.num_crops, cache_dtype=args.cache_dtype,
                            batch=args.batch, max_ctx=args.max_ctx,
-                           tp=args.tp, cp=args.cp, spec_k=args.spec_k)
+                           tp=args.tp, cp=args.cp, spec_k=args.spec_k,
+                           pool_tokens=args.pool_tokens,
+                           page_size=args.page_size)
+    if not args.no_warmup:
+        server.warmup()
 
     _PageHandler.ws_port = args.ws_port
     httpd = ThreadingHTTPServer((args.ip, args.port), _PageHandler)
