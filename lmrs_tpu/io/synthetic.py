@@ -91,12 +91,58 @@ def write_synthetic_lmrs(path: str, cfg: ModelConfig, seed: int = 0,
 
     rng = np.random.default_rng(seed)
 
+    # Large tensors are synthesized as TILED random pools written directly in
+    # the on-disk quantized layout instead of generate-floats-then-quantize:
+    # a benchmark substrate only needs byte-identical size/layout and sane
+    # magnitudes, and the generate+quantize path is ~25 ns/value of
+    # single-core numpy — a Gemma-2-9B would take hours on a 1-core host.
+    # Small tensors (unit tests, norms) keep the exact rng path so golden
+    # tests see fully independent values.
+    POOL = 1 << 22            # 4M values per pool (>> any tensor row)
+    FAST_MIN = 1 << 21        # tensors above 2M values use the pools
+    pools: Dict[str, np.ndarray] = {}
+
+    def pool(kind: str, quant, gs, std):
+        key = f"{kind}-{int(quant) if quant else 0}-{gs}-{std}"
+        if key not in pools:
+            if kind == "q":       # raw quantized bytes (int8 or packed Q4)
+                pools[key] = rng.integers(0, 256, size=POOL,
+                                          dtype=np.uint8)
+            elif kind == "s":     # per-group scales: |s| ~ std/qmax,
+                # jittered 0.5–1.5x; Q4 export scales are negative
+                # (absmax/-7.5, utils/quantization.py:15 in the reference)
+                qmax = 127.0 if quant == QuantType.Q8_0 else 7.5
+                sgn = -1.0 if quant == QuantType.Q4_0 else 1.0
+                pools[key] = (sgn * (std / qmax)
+                              * rng.uniform(0.5, 1.5, size=POOL)
+                              ).astype(np.float32)
+            else:                 # dense f32 values
+                pools[key] = rng.uniform(-2.0 * std, 2.0 * std,
+                                         size=POOL).astype(np.float32)
+        return pools[key]
+
+    def write_tiled(f, p: np.ndarray, n: int):
+        reps, rem = divmod(n, p.size)
+        for _ in range(reps):
+            f.write(p.tobytes())
+        if rem:
+            f.write(p[:rem].tobytes())
+
     def write_section(f, layout, quant, gs, norm_key="norm"):
         for name, shape, quantized in layout:
             if log:
                 log(f"synth {name} {shape}")
             std = 0.05 if (norm_key in name or "ln" in name
                            or name.endswith("_b")) else scale
+            n = int(np.prod(shape))
+            if n >= FAST_MIN:
+                if quantized:
+                    nq = n if quant == QuantType.Q8_0 else n // 2
+                    write_tiled(f, pool("q", quant, gs, std), nq)
+                    write_tiled(f, pool("s", quant, gs, std), n // gs)
+                else:
+                    write_tiled(f, pool("f", None, gs, std), n)
+                continue
             w = rng.normal(0.0, std, size=shape).astype(np.float32)
             if not quantized:
                 f.write(w.tobytes())
