@@ -112,8 +112,25 @@ def main():
     # no per-layer copies); "unrolled" = per-layer call sites (round-1 style);
     # "stacked" = stacked exact/XLA path
     layout = os.environ.get("LMRS_BENCH_LAYOUT", "scan")
+    batch = int(os.environ.get("LMRS_BENCH_BATCH", "0"))
+    decode_chunk = int(os.environ.get("LMRS_BENCH_CHUNK", "32"))
+    from lmrs_tpu.runtime.engine import CACHE_DTYPES
+    cache_dtype = CACHE_DTYPES[os.environ.get("LMRS_BENCH_KV", "bfloat16")]
     params = None
+    pre_th = None
     if tp == 1 and cp == 1:
+        if (layout == "scan" and batch == 0 and not cfg.multimodal
+                and impl == "fast" and not fuse_ffn and not q4_int8):
+            # AOT-compile the exact generate() program set on a background
+            # thread WHILE the weights stream from disk: compilation needs
+            # only shapes, and the persistent cache hands the executables
+            # to the real calls below (runtime/precompile.py)
+            from lmrs_tpu.runtime.precompile import precompile_single_stream
+
+            pre_th = precompile_single_stream(
+                f.cfg, cache_dtype, n_prompt, n_tokens,
+                decode_chunk=decode_chunk, temperature=0.0, top_p=0.9,
+                log=log)
         # multi-chip runs assemble SHARDED params inside make_mesh_engine;
         # loading a replicated copy first would double the model-load work
         params = params_from_lmrs(f, stack_layers=(layout != "unrolled"),
@@ -121,8 +138,6 @@ def main():
                                   fuse_ffn=fuse_ffn, q4_as_int8=q4_int8)
         jax.block_until_ready(jax.tree_util.tree_leaves(params))
         log(f"load+transfer: {time.time() - t0:.1f}s")
-
-    batch = int(os.environ.get("LMRS_BENCH_BATCH", "0"))
     if batch > 0:
         if cp > 1:
             raise ValueError("LMRS_BENCH_BATCH with LMRS_BENCH_CP is not "
@@ -130,11 +145,8 @@ def main():
         return bench_batched(f, params, config_name, quant_name, batch,
                              n_tokens, n_prompt, tp=tp)
 
-    decode_chunk = int(os.environ.get("LMRS_BENCH_CHUNK", "32"))
     # LMRS_BENCH_KV=int8 runs the quantized KV cache (half the attention
     # HBM traffic of bf16, double the max context per chip)
-    from lmrs_tpu.runtime.engine import CACHE_DTYPES
-    cache_dtype = CACHE_DTYPES[os.environ.get("LMRS_BENCH_KV", "bfloat16")]
     if tp > 1 or cp > 1:
         # multi-chip serving end-to-end: JAX_NUM_CPU_DEVICES=8
         # LMRS_BENCH_TP=4 python bench.py runs this on a virtual CPU mesh
@@ -161,9 +173,15 @@ def main():
             eng.prefill_embeds(mm_embeds, want_logits=False)
         return eng.generate(prompt, gen)
 
+    if pre_th is not None:
+        t0 = time.time()
+        pre_th.join()
+        log(f"precompile drain (after load): {time.time() - t0:.1f}s")
+
     # warmup: run the FULL generation length once so every attn-len bucket
     # program the timed run will touch is compiled (a mid-run bucket jump
-    # would otherwise count a recompile as decode time)
+    # would otherwise count a recompile as decode time).  With the AOT
+    # precompile above this is mostly persistent-cache deserialization.
     t0 = time.time()
     warm = run_once()
     log(f"warmup (compile): {time.time() - t0:.1f}s, {len(warm)} tokens")

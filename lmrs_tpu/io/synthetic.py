@@ -103,7 +103,15 @@ def write_synthetic_lmrs(path: str, cfg: ModelConfig, seed: int = 0,
     pools: Dict[str, np.ndarray] = {}
 
     def pool(kind: str, quant, gs, std):
-        key = f"{kind}-{int(quant) if quant else 0}-{gs}-{std}"
+        # key only on the parameters the pool contents depend on: 'q' bytes
+        # are uniform regardless of quant/gs/std, scales depend on
+        # (quant, std), dense floats on std alone (ADVICE r3)
+        if kind == "q":
+            key = "q"
+        elif kind == "s":
+            key = f"s-{int(quant)}-{std}"
+        else:
+            key = f"f-{std}"
         if key not in pools:
             if kind == "q":       # raw quantized bytes (int8 or packed Q4)
                 pools[key] = rng.integers(0, 256, size=POOL,
@@ -123,10 +131,11 @@ def write_synthetic_lmrs(path: str, cfg: ModelConfig, seed: int = 0,
 
     def write_tiled(f, p: np.ndarray, n: int):
         reps, rem = divmod(n, p.size)
+        data = memoryview(p)  # serialize once, not once per repetition
         for _ in range(reps):
-            f.write(p.tobytes())
+            f.write(data)
         if rem:
-            f.write(p[:rem].tobytes())
+            f.write(memoryview(p[:rem]))
 
     def write_section(f, layout, quant, gs, norm_key="norm"):
         for name, shape, quantized in layout:
@@ -137,6 +146,12 @@ def write_synthetic_lmrs(path: str, cfg: ModelConfig, seed: int = 0,
             n = int(np.prod(shape))
             if n >= FAST_MIN:
                 if quantized:
+                    # keep parity with the slow path's quantize_q{80,40}_np
+                    # assertions: a layout tensor violating them must fail
+                    # loudly, not write truncated groups
+                    assert n % gs == 0 and (
+                        quant != QuantType.Q4_0 or n % 2 == 0), \
+                        f"{name}: {n} values not groupable at gs={gs}"
                     nq = n if quant == QuantType.Q8_0 else n // 2
                     write_tiled(f, pool("q", quant, gs, std), nq)
                     write_tiled(f, pool("s", quant, gs, std), n // gs)

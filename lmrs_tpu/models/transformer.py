@@ -207,14 +207,20 @@ def _localize(qt: Optional[QTensor]) -> Optional[QTensor]:
 
 
 def _flash_eligible(cfg: ModelConfig, t_q: int, attn_len: int) -> bool:
-    """Use the blockwise Pallas attention kernel?  Fast path only; below
-    LMRS_FLASH_MIN_BUCKET the XLA einsum wins (the kernel adds one
-    in-program call per layer, ~30us each on v5e, while the einsum over a
-    short bucket is already cheap — the kernel's win is O(window) +
-    O(live) streaming at LONG context, kernels/flash_attention.py).
+    """Use the blockwise Pallas attention kernel?  Fast path only.
+
+    Measured on the v5e chip (scripts/flash_crossover.py, gemma-2-9b Q4):
+    flash beats the XLA einsum at EVERY position — 16.2 vs 16.9 ms/tok at
+    pos 16 (einsum bucket 256), 16.9 vs 17.9 at pos 1.8k (bucket 2048),
+    17.8 vs 19.1 at pos 3.9k — the feared per-layer kernel-call overhead
+    is smaller than the einsum's (T, KH, G, S) f32 score materialization
+    even at short context.  So the default threshold is 256 (every
+    bucket): with the engine's flash bucket collapse this makes the WHOLE
+    engine two compiled programs (one prefill, one decode) with O(pos)
+    attention reads at any position.  LMRS_FLASH_MIN_BUCKET overrides
+    (10**9 disables flash for A/B runs).
     Serves decode steps AND prefill chunks (t_q up to 256: scores stay one
-    (G*T, s_blk) VMEM tile per kv head); at long context a prefill chunk
-    stops reading the whole pow-2 bucket — O(pos+T) instead."""
+    (G*T, s_blk) VMEM tile per kv head)."""
     if cfg.matmul_impl != "fast" or t_q > 256:
         return False
     if cfg.cache_head_dim % 128 != 0:
@@ -226,7 +232,7 @@ def _flash_eligible(cfg: ModelConfig, t_q: int, attn_len: int) -> bool:
         # s_blk = min(512, attn_len); ragged user --seq-len values keep
         # the XLA path (pow-2 buckets below 512 are always aligned)
         return False
-    min_bucket = int(os.environ.get("LMRS_FLASH_MIN_BUCKET", "8192"))
+    min_bucket = int(os.environ.get("LMRS_FLASH_MIN_BUCKET", "256"))
     return attn_len >= min_bucket
 
 

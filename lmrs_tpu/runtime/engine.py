@@ -84,6 +84,35 @@ def _next_pow2(n: int, lo: int, hi: int) -> int:
     return min(b, hi)
 
 
+def attn_bucket(cfg: ModelConfig, needed: int, min_bucket: int,
+                prefill_chunk: int, cache_dtype) -> int:
+    """The static attention length the engine runs a step needing `needed`
+    cache rows at (module-level so runtime.precompile can AOT-compile the
+    exact program set an Engine will execute).
+
+    Flash-eligible rungs collapse onto ONE max-context program: the
+    kernel's live-block clamp already makes attention reads O(pos),
+    so extra pow-2 rungs past the flash threshold only buy compile
+    time (minutes per rung through the remote-compile tunnel) and
+    mid-conversation bucket-crossing stalls.  The collapse must hold
+    for EVERY call site that will run at this bucket — including
+    prefill chunks (t_q = prefill_chunk) and the full-seq_len
+    program itself (a non-512-multiple --seq-len can't run flash)."""
+    b = _next_pow2(needed, min(min_bucket, cfg.seq_len), cfg.seq_len)
+    from lmrs_tpu.models.transformer import _flash_eligible
+
+    # the int4 cache's in-kernel nibble unpack needs a 256-lane head
+    # block (transformer._layer's quant4_flash_ok); models with
+    # cache_head_dim 128 fall back to the XLA path, which MUST keep
+    # its pow-2 rungs — collapsing would run dense attention over the
+    # full seq_len every step
+    quant4_ok = (cache_dtype != "int4" or cfg.cache_head_dim % 256 == 0)
+    if (quant4_ok and _flash_eligible(cfg, 1, b)
+            and _flash_eligible(cfg, prefill_chunk, cfg.seq_len)):
+        return cfg.seq_len
+    return b
+
+
 def _mesh_axes(mesh) -> tuple:
     """(tp, cp) sizes of the engine mesh (absent axes count as 1)."""
     shape = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -140,30 +169,23 @@ def _make_mesh_fns(cfg: ModelConfig, mesh, param_spec,
             return embed_tokens(params, cfg_l, xt)
         return xt
 
-    @partial(jax.jit, static_argnames=("attn_len", "want_logits"),
+    @partial(jax.jit, static_argnames=("attn_len",),
              donate_argnames=("cache",))
-    def _step(params, cache, xt, pos, logit_idx, attn_len, want_logits):
+    def _step(params, cache, xt, pos, logit_idx, attn_len):
+        # logits are ALWAYS computed (logit_idx row): a want_logits variant
+        # would double the program count — each program costs ~100 s of
+        # remote compile through the axon tunnel, while the classifier
+        # matmul it skips costs <1 ms per prefill chunk (VERDICT r3 #4)
         attn = s_attn if cp > 1 else attn_len
 
-        if want_logits:
-            def body(params, cache, xt, pos, logit_idx):
-                return forward(params, cfg_l, cache, _x(params, xt), pos,
-                               attn, logit_idx)
-            sm = jax.shard_map(
-                body, mesh=mesh,
-                in_specs=(param_spec, cache_spec, P(), P(), P()),
-                out_specs=(P(), cache_spec), check_vma=False)
-            return sm(params, cache, xt, pos, logit_idx)
-
-        def body(params, cache, xt, pos):
-            _, c = forward(params, cfg_l, cache, _x(params, xt), pos,
-                           attn, None)
-            return c
+        def body(params, cache, xt, pos, logit_idx):
+            return forward(params, cfg_l, cache, _x(params, xt), pos,
+                           attn, logit_idx)
         sm = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(param_spec, cache_spec, P(), P()),
-            out_specs=cache_spec, check_vma=False)
-        return None, sm(params, cache, xt, pos)
+            in_specs=(param_spec, cache_spec, P(), P(), P()),
+            out_specs=(P(), cache_spec), check_vma=False)
+        return sm(params, cache, xt, pos, logit_idx)
 
     @partial(jax.jit,
              static_argnames=("n_steps", "attn_len", "temperature", "top_p"),
@@ -230,11 +252,12 @@ def _compiled_fns(cfg: ModelConfig):
 
     embed = jax.jit(partial(embed_tokens, cfg=cfg))
 
-    @partial(jax.jit, static_argnames=("attn_len", "want_logits"),
+    @partial(jax.jit, static_argnames=("attn_len",),
              donate_argnames=("cache",))
-    def _step(params, cache, x, pos, logit_idx, attn_len, want_logits):
-        return forward(params, cfg, cache, x, pos, attn_len,
-                       logit_idx if want_logits else None)
+    def _step(params, cache, x, pos, logit_idx, attn_len):
+        # always computes logits — see _make_mesh_fns._step for why there
+        # is no want_logits variant
+        return forward(params, cfg, cache, x, pos, attn_len, logit_idx)
 
     @partial(jax.jit,
              static_argnames=("n_steps", "attn_len", "temperature", "top_p"),
@@ -381,7 +404,7 @@ class Engine:
                 seen.add(b)
                 _, self.cache = self._step(
                     self.params, self.cache, x, jnp.int32(0), jnp.int32(0),
-                    attn_len=b, want_logits=True)
+                    attn_len=b)
                 if self.decode_chunk > 1 and b >= first_decode_bucket:
                     _, self.cache = self._decode_chunk(
                         self.params, self.cache, jnp.int32(0), jnp.int32(0),
@@ -405,29 +428,8 @@ class Engine:
         self.reset()
 
     def _attn_bucket(self, needed: int) -> int:
-        b = _next_pow2(needed, self.min_attn_bucket, self.cfg.seq_len)
-        # Flash-eligible rungs collapse onto ONE max-context program: the
-        # kernel's live-block clamp already makes attention reads O(pos),
-        # so extra pow-2 rungs past the flash threshold only buy compile
-        # time (minutes per rung through the remote-compile tunnel) and
-        # mid-conversation bucket-crossing stalls.  The collapse must hold
-        # for EVERY call site that will run at this bucket — including
-        # prefill chunks (t_q = prefill_chunk) and the full-seq_len
-        # program itself (a non-512-multiple --seq-len can't run flash).
-        from lmrs_tpu.models.transformer import _flash_eligible
-
-        # the int4 cache's in-kernel nibble unpack needs a 256-lane head
-        # block (transformer._layer's quant4_flash_ok); models with
-        # cache_head_dim 128 fall back to the XLA path, which MUST keep
-        # its pow-2 rungs — collapsing would run dense attention over the
-        # full seq_len every step
-        quant4_ok = (self.cache_dtype != "int4"
-                     or self.cfg.cache_head_dim % 256 == 0)
-        if (quant4_ok and _flash_eligible(self.cfg, 1, b)
-                and _flash_eligible(self.cfg, self.prefill_chunk,
-                                    self.cfg.seq_len)):
-            return self.cfg.seq_len
-        return b
+        return attn_bucket(self.cfg, needed, self.min_attn_bucket,
+                           self.prefill_chunk, self.cache_dtype)
 
     # ------------------------------------------------------------------
     def prefill(self, tokens: Sequence[int],
@@ -458,6 +460,12 @@ class Engine:
                 f"context overflow: pos={self.pos} + prompt {n} > seq_len"
                 f" {self.cfg.seq_len}")
         logits = None
+        # ONE attention bucket for the whole prompt (the bucket of its
+        # final position): early chunks read a few extra zero rows
+        # (<0.2 ms of HBM for a 1k prompt) but the prompt runs ONE compiled
+        # program instead of one per pow-2 rung — each rung is ~100 s of
+        # remote compile on a cold process (VERDICT r3 #4)
+        attn_all = self._attn_bucket(self.pos + n)
         off = 0
         while off < n:
             if self._cp > 1 and self.pos % self.prefill_chunk:
@@ -479,14 +487,13 @@ class Engine:
             if real < chunk:
                 xt = jnp.pad(xt, ((0, chunk - real),) + ((0, 0),)
                              * (xt.ndim - 1))
-            attn_len = self._attn_bucket(self.pos + chunk)
-            last = off + real >= n
             logits, self.cache = self._step(
                 self.params, self.cache, xt, jnp.int32(self.pos),
-                jnp.int32(real - 1), attn_len=attn_len,
-                want_logits=want_logits and last)
+                jnp.int32(real - 1), attn_len=attn_all)
             self.pos += real
             off += real
+        if not want_logits:
+            logits = None
         if logits is not None:
             logits.block_until_ready()
         self.metrics.prefill_tokens += n
@@ -503,7 +510,7 @@ class Engine:
         attn_len = self._attn_bucket(self.pos + 1)
         logits, self.cache = self._step(
             self.params, self.cache, x, jnp.int32(self.pos), jnp.int32(0),
-            attn_len=attn_len, want_logits=True)
+            attn_len=attn_len)
         self.pos += 1
         return logits
 

@@ -55,3 +55,11 @@ if _needs_reexec():
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The production default runs the flash kernel from bucket 256 up (measured
+# faster at every position on the chip — models/transformer._flash_eligible).
+# On the CPU test mesh the kernel runs in INTERPRET mode (orders slower) and
+# with different numerics than the einsum, so the suite pins the einsum path
+# by default; flash-specific tests (test_flash_attention, test_paged,
+# test_bucket_collapse, ...) override per-test via monkeypatch/fixtures.
+os.environ.setdefault("LMRS_FLASH_MIN_BUCKET", str(1 << 30))
