@@ -324,9 +324,7 @@ class Engine:
         self.decode_chunk = decode_chunk
         self.pos = 0
         self.metrics = StepMetrics()
-        if cache_dtype == "int4" and mesh is not None:
-            raise ValueError("the int4 KV cache is single-device only "
-                             "(use int8 on tp/cp meshes)")
+        quant_cache = cache_dtype in (jnp.int8, "int4")
         if mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -349,7 +347,7 @@ class Engine:
                 raise ValueError("mesh engine needs param_spec (from "
                                  "build_tp_params_stacked / replicate_params)")
             self._step, self._decode_chunk = _mesh_fns_cached(
-                cfg, mesh, param_spec, cache_dtype == jnp.int8)
+                cfg, mesh, param_spec, quant_cache)
             self._param_spec = param_spec
             self._embed = None
         else:
@@ -360,10 +358,11 @@ class Engine:
             # everything per client)
             self._embed, self._step, self._decode_chunk = _compiled_fns(cfg)
         scale_sharding = None
-        if (cache_dtype == jnp.int8 and mesh is not None):
+        if quant_cache and mesh is not None:
             from jax.sharding import NamedSharding
 
-            # (L, KH, S) scales: heads on tp, seq on cp
+            # (L, KH, S) scales: heads on tp, seq on cp (int8 AND int4 —
+            # both store per-(pos, head) f32 scale planes)
             scale_sharding = NamedSharding(mesh, _mesh_scale_spec(mesh))
         self.cache = init_kv_cache(cfg, cache_dtype, sharding=cache_sharding,
                                    scale_sharding=scale_sharding)
@@ -643,9 +642,9 @@ class Engine:
                                                   make_spec_chunk_mesh)
 
         if self.mesh is not None:
-            return make_spec_chunk_mesh(self.cfg, self.mesh,
-                                        self._param_spec,
-                                        self.cache_dtype == jnp.int8)
+            return make_spec_chunk_mesh(
+                self.cfg, self.mesh, self._param_spec,
+                self.cache_dtype in (jnp.int8, "int4"))
         return make_spec_chunk(self.cfg)
 
     def _generate_speculative(self, gen: GenerationConfig, stop,

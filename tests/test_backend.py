@@ -93,6 +93,7 @@ def test_backend_bad_json_ignored(artifacts):
     assert asyncio.run(run())
 
 
+@pytest.mark.slow  # heavy: excluded from the default fast run
 def test_backend_batched_concurrent(artifacts):
     """--batch mode: two connections decode concurrently through one
     shared scheduler; both conversations stream and keep multi-turn
@@ -131,6 +132,7 @@ def test_backend_batched_concurrent(artifacts):
     server.scheduler.shutdown()
 
 
+@pytest.mark.slow  # heavy: excluded from the default fast run
 def test_backend_batched_tp(artifacts):
     """--batch --tp: connections share one scheduler whose batched step
     runs under shard_map over a 2-device tp mesh (the full serving stack:

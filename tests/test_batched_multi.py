@@ -13,6 +13,11 @@ from lmrs_tpu.models.transformer import (KVCache, embed_tokens, forward,
                                          forward_batched, init_kv_cache)
 from lmrs_tpu.quant import QuantType
 
+# heavyweight interpret-mode / mesh parity matrix: excluded from the
+# default fast run (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.mark.parametrize("mt,cache_dtype", [
     (ModelType.LLAMA, jnp.float32),

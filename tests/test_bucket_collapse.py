@@ -19,6 +19,11 @@ from lmrs_tpu.io.synthetic import random_weights, tiny_config
 from lmrs_tpu.quant import QuantType
 from lmrs_tpu.runtime.engine import Engine, GenerationConfig
 
+# heavyweight interpret-mode / mesh parity matrix: excluded from the
+# default fast run (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def _mk_model():
     # head_dim 128 (lane-aligned) + fast impl => flash-eligible

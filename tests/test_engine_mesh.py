@@ -25,6 +25,11 @@ from lmrs_tpu.runtime.engine import Engine, GenerationConfig
 
 from test_tp import _quantized_tensors
 
+# heavyweight interpret-mode / mesh parity matrix: excluded from the
+# default fast run (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 KW = dict(dim=64, hidden_dim=128, n_layers=2, n_heads=8, head_dim=16,
           n_kv_heads=4, vocab_size=512, seq_len=64, group_size=16,

@@ -15,6 +15,11 @@ from lmrs_tpu.kernels.flash_attention import (flash_decode_batched,
                                               flash_decode_stacked)
 from lmrs_tpu.ops.attention import attention
 
+# heavyweight interpret-mode / mesh parity matrix: excluded from the
+# default fast run (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def _mk(rng, L, S, KH, H, HD, T):
     """k/v returned BOTH ways: 4D for the XLA reference, 3D (merged

@@ -134,6 +134,7 @@ def test_fused_ffn_matches_unfused(qtype, act):
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=0.12)
 
 
+@pytest.mark.slow  # heavy: excluded from the default fast run
 def test_fused_ffn_end_to_end_generation():
     """cfg.fuse_ffn generates the same tokens as the unfused fast path on a
     well-separated tiny model (both are bf16-dequant numerics)."""
@@ -228,6 +229,7 @@ def test_q4_as_int8_expansion_bit_exact():
     assert packed == expanded, (packed, expanded)
 
 
+@pytest.mark.slow  # heavy: excluded from the default fast run
 def test_fused_xe_stacked_ffn_matches_unfused():
     """ffn_fused_xe_stacked (one call per layer, scalar-prefetch stacked
     weights, xe scales) is bit-consistent with the unfused scan-fast path."""

@@ -14,6 +14,11 @@ from pathlib import Path
 
 import pytest
 
+# heavyweight interpret-mode / mesh parity matrix: excluded from the
+# default fast run (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def _free_port() -> int:
     with socket.socket() as s:

@@ -20,6 +20,11 @@ from lmrs_tpu.io.synthetic import random_weights, tiny_config
 from lmrs_tpu.quant import QuantType
 from lmrs_tpu.serve.replicas import ReplicaRouter
 
+# heavyweight interpret-mode / mesh parity matrix: excluded from the
+# default fast run (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 KW = dict(dim=128, hidden_dim=256, n_layers=2, n_heads=2, n_kv_heads=2,
           head_dim=128, vocab_size=256, group_size=32, seq_len=128,
           matmul_impl="fast")

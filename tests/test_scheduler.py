@@ -342,6 +342,7 @@ def test_program_size_constant_in_batch(model):
     assert sizes[16] < sizes[4] * 1.5, sizes
 
 
+@pytest.mark.slow  # heavy: excluded from the default fast run
 def test_prefix_cache_token_exact(model):
     """A fresh request sharing a long prompt prefix with a resident slot
     copies those cache rows (admission prefix cache) and must emit EXACTLY
@@ -376,6 +377,7 @@ def test_prefix_cache_token_exact(model):
     assert done_pc["b"] == done_plain["b"]
 
 
+@pytest.mark.slow  # heavy: excluded from the default fast run
 def test_prefix_cache_int8(model):
     """Prefix forking also copies the int8 cache's scale planes."""
     cfg, params = model
@@ -422,6 +424,7 @@ def test_prefix_cache_ignores_short_and_free(model):
     assert sched.prefix_hits == 0
 
 
+@pytest.mark.slow  # heavy: excluded from the default fast run
 def test_scheduler_speculative_greedy_parity(model):
     """Batched speculation (greedy slots accept drafted tokens, verified
     in one t_q=k+1 forward per step) must emit exactly the plain batched
@@ -451,6 +454,7 @@ def test_scheduler_speculative_greedy_parity(model):
     assert 0 <= s.spec_accepted <= s.spec_proposed
 
 
+@pytest.mark.slow  # heavy: excluded from the default fast run
 def test_scheduler_speculative_mixed_sampling(model):
     """Greedy and sampled requests share one speculative batch: greedy
     slots stay token-exact vs the plain scheduler; sampled slots decode
@@ -478,6 +482,7 @@ def test_scheduler_speculative_mixed_sampling(model):
     assert len(got["s"]) == N_NEW
 
 
+@pytest.mark.slow  # heavy: excluded from the default fast run
 def test_scheduler_speculative_int8(model):
     cfg, params = model
 
@@ -513,6 +518,7 @@ def test_speculative_context_guard(model):
     assert all(s.pos <= sched.S for s in sched.slots)
 
 
+@pytest.mark.slow  # heavy: excluded from the default fast run
 def test_warmup_is_state_neutral(model):
     """scheduler.warmup() precompiles the serving programs without
     changing any observable behavior: tokens after warmup match a cold

@@ -48,6 +48,7 @@ def test_load_session_rejects_wrong_model(tmp_path):
         eng2.load_session(path)
 
 
+@pytest.mark.slow  # heavy: excluded from the default fast run
 def test_engine_warmup_then_generate():
     """warmup() precompiles bucket programs and leaves the engine usable;
     a seq_len override past the reference's 8192 clamp also works."""

@@ -46,6 +46,7 @@ def test_tp_sharded_logits_match_replicated(quant):
     np.testing.assert_allclose(tp_logits, ref_logits, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # heavy: excluded from the default fast run
 def test_tp_greedy_generation_matches():
     cfg = shardable_cfg(QuantType.Q8_0)
     weights = random_weights(cfg, seed=5)
@@ -82,6 +83,7 @@ def test_fallback_replication_when_not_divisible():
     assert len(out) == 4
 
 
+@pytest.mark.slow  # heavy: excluded from the default fast run
 def test_dryrun_multichip_entry():
     import __graft_entry__
 

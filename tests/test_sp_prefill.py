@@ -22,6 +22,11 @@ from lmrs_tpu.models.transformer import (KVCache, embed_tokens, forward,
 from lmrs_tpu.parallel.tp import local_config, replicate_params
 from lmrs_tpu.quant import QuantType
 
+# heavyweight interpret-mode / mesh parity matrix: excluded from the
+# default fast run (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 CP = 4
 T = 32
 

@@ -18,6 +18,11 @@ from lmrs_tpu.io.synthetic import random_weights, tiny_config
 from lmrs_tpu.quant import QuantType
 from lmrs_tpu.runtime.engine import Engine, GenerationConfig
 
+# heavyweight interpret-mode / mesh parity matrix: excluded from the
+# default fast run (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def _make(mt=ModelType.LLAMA, qt=QuantType.Q8_0, seed=11, **kw):
     cfg = tiny_config(mt, qt, seq_len=512, **kw)

@@ -19,6 +19,11 @@ from lmrs_tpu.parallel.tp import (build_tp_params, init_tp_cache,
                                   make_tp_step)
 from lmrs_tpu.quant import QuantType
 
+# heavyweight interpret-mode / mesh parity matrix: excluded from the
+# default fast run (pytest.ini); run with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def _quantized_tensors(cfg, weights):
     """weights dict (dense f32) → .lmrs-style (q, s) tensor dict."""
