@@ -55,7 +55,8 @@ class BackendServer:
                  max_new_tokens: Optional[int] = None, batch: int = 0,
                  max_ctx: Optional[int] = None, matmul_impl: str = "fast",
                  tp: int = 1, cp: int = 1, spec_k: int = 0,
-                 pool_tokens: Optional[int] = None, page_size: int = 512):
+                 pool_tokens: Optional[int] = None, page_size: int = 512,
+                 dp: int = 1):
         import jax.numpy as jnp
 
         from lmrs_tpu.runtime.engine import CACHE_DTYPES
@@ -81,7 +82,29 @@ class BackendServer:
                              "head-sharded, not sequence-sharded)")
         self._mesh_engine_proto = None
         self._mesh_scheduler = None
-        if tp > 1 or cp > 1:
+        # dp>1: data-parallel serving — dp scheduler replicas over disjoint
+        # tp-chip device groups behind a least-loaded router
+        # (serve.replicas.ReplicaRouter); each replica drives its own
+        # SchedulerThread, so decode chunks on different replicas overlap
+        self.router = None
+        self._replica_threads = []
+        if dp > 1:
+            if batch <= 0:
+                raise ValueError("--dp requires --batch (the router "
+                                 "multiplies the batched scheduler)")
+            if cp > 1:
+                raise ValueError("--dp with --cp is not supported")
+            from lmrs_tpu.serve.replicas import ReplicaRouter
+
+            self.router = ReplicaRouter(
+                self.file, dp=dp, tp=tp, max_batch=batch, max_ctx=max_ctx,
+                cache_dtype=CACHE_DTYPES[cache_dtype],
+                temperature=temperature, top_p=top_p,
+                seed=seed if seed is not None else 0,
+                speculative_k=spec_k, pool_tokens=pool_tokens,
+                page_size=page_size)
+            self.params = self.router.replicas[0].params
+        elif tp > 1 or cp > 1:
             # multi-chip serving: build the mesh/sharded params ONCE; each
             # connection gets its own Engine over the shared params +
             # compiled programs (engine._mesh_fns_cached), or — with
@@ -134,7 +157,12 @@ class BackendServer:
         # batch>0: continuous batching — connections share one scheduler
         # and decode concurrently instead of serializing on gpu_lock
         self.scheduler = None
-        if batch > 0:
+        if self.router is not None:
+            from lmrs_tpu.serve.scheduler import SchedulerThread
+
+            self._replica_threads = [SchedulerThread(r)
+                                     for r in self.router.replicas]
+        elif batch > 0:
             from lmrs_tpu.serve.scheduler import (BatchScheduler,
                                                   SchedulerThread)
 
@@ -157,7 +185,10 @@ class BackendServer:
         (engine._compiled_fns / _mesh_fns_cached)."""
         import time
         t0 = time.time()
-        if self.scheduler is not None:
+        if self._replica_threads:
+            for th in self._replica_threads:
+                th.call(th.sched.warmup)
+        elif self.scheduler is not None:
             self.scheduler.call(self.scheduler.sched.warmup)
         else:
             self._new_engine().warmup(spec_k=self.spec_k)
@@ -186,7 +217,7 @@ class BackendServer:
         from lmrs_tpu.runtime.engine import GenerationConfig
         from lmrs_tpu.tokenizer import EXTRA_STOP_TOKENS, StreamDecoder
 
-        if self.scheduler is not None:
+        if self.scheduler is not None or self._replica_threads:
             return await self.handle_batched(ws)
 
         engine = self._new_engine()
@@ -281,12 +312,25 @@ class BackendServer:
         connection, src/bin/backend.rs:88-110)."""
         from lmrs_tpu.tokenizer import EXTRA_STOP_TOKENS, StreamDecoder
 
-        sched = self.scheduler.sched
-        lease = self.scheduler.call(sched.new_conversation)
-        if lease is None:
-            await ws.send(_response(
-                "STATUS", "Server at capacity — try again later"))
-            return
+        if self.router is not None:
+            # pin the conversation to the least-loaded replica; its own
+            # SchedulerThread drives it (replicas overlap device-side)
+            rlease = self.router.new_conversation()
+            if rlease is None:
+                await ws.send(_response(
+                    "STATUS", "Server at capacity — try again later"))
+                return
+            thread = self._replica_threads[rlease.replica]
+            sched = thread.sched
+            lease = rlease.lease
+        else:
+            thread = self.scheduler
+            sched = thread.sched
+            lease = thread.call(sched.new_conversation)
+            if lease is None:
+                await ws.send(_response(
+                    "STATUS", "Server at capacity — try again later"))
+                return
 
         stop_tokens = {self.tokenizer.eos,
                        *EXTRA_STOP_TOKENS.get(self.cfg.model_type, ())}
@@ -306,7 +350,7 @@ class BackendServer:
 
                 if self.multimodal and msg.get("image"):
                     image_turn = await self._ingest_image_batched(
-                        ws, lease, msg["image"])
+                        ws, thread, lease, msg["image"])
 
                 prompt_tokens: List[int] = []
                 if self.cfg.model_type == ModelType.LLAMA and first_turn:
@@ -348,7 +392,7 @@ class BackendServer:
                 def on_done(out):
                     loop.call_soon_threadsafe(done_ev.set)
 
-                self.scheduler.submit(
+                thread.submit(
                     prompt_tokens, max_new_tokens=self.max_new_tokens,
                     stop_tokens=stop_tokens, on_token=on_token,
                     on_done=on_done, lease=lease)
@@ -370,9 +414,10 @@ class BackendServer:
                     await ws.send(_response("OUTPUT", tail))
                 await ws.send(_response("OUTPUT", "<eos>"))
         finally:
-            self.scheduler.call(lambda: sched.end_conversation(lease))
+            thread.call(lambda: sched.end_conversation(lease))
 
-    async def _ingest_image_batched(self, ws, lease, image_b64: str) -> bool:
+    async def _ingest_image_batched(self, ws, thread, lease,
+                                    image_b64: str) -> bool:
         import io as _io
 
         from PIL import Image
@@ -386,7 +431,7 @@ class BackendServer:
         img.save(tmp2, format="PNG")
         await ws.send(_response("STATUS", "Encoding the image"))
         loop = asyncio.get_running_loop()
-        sched = self.scheduler.sched
+        sched = thread.sched
 
         def encode_and_fill():
             import tempfile
@@ -397,10 +442,14 @@ class BackendServer:
                 embeds = encode_image_to_embeds(self.file, self.params,
                                                 self.cfg, f.name,
                                                 self.num_crops)
-            sched.prefill_embeds(lease, embeds)
+            import numpy as np
+
+            # via host: the embeds live on replica 0's devices; the leased
+            # slot may be on another replica's mesh (dp mode)
+            sched.prefill_embeds(lease, np.asarray(embeds))
 
         await loop.run_in_executor(
-            None, lambda: self.scheduler.call(encode_and_fill))
+            None, lambda: thread.call(encode_and_fill))
         await ws.send(_response("STATUS", "Filling KV cache"))
         return True
 
@@ -467,6 +516,11 @@ def main(argv=None):
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways (Megatron shard_map over a "
                         "tp-axis device mesh)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel scheduler replicas (requires "
+                        "--batch): dp disjoint tp-chip device groups "
+                        "behind a least-loaded router — aggregate "
+                        "throughput scales with dp")
     p.add_argument("--spec-k", dest="spec_k", type=int, default=0,
                    help="prompt-lookup speculative decoding for greedy "
                         "(--temperature 0) single-engine serving")
@@ -493,7 +547,7 @@ def main(argv=None):
                            max_ctx=args.max_ctx, matmul_impl=args.impl,
                            tp=args.tp, cp=args.cp, spec_k=args.spec_k,
                            pool_tokens=args.pool_tokens,
-                           page_size=args.page_size)
+                           page_size=args.page_size, dp=args.dp)
     if not args.no_warmup:
         server.warmup()
     try:

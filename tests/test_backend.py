@@ -169,3 +169,56 @@ def test_backend_batched_tp(artifacts):
     out = asyncio.run(run())
     assert len(out) == 2
     server.scheduler.shutdown()
+
+
+@pytest.mark.slow  # heavy: excluded from the default fast run
+def test_backend_batched_dp(artifacts):
+    """--batch --dp: two concurrent connections land on DIFFERENT
+    scheduler replicas (least-loaded routing) and both stream tokens —
+    the dp serving product path (VERDICT r3 next #5)."""
+    from lmrs_tpu.serve.backend import BackendServer
+
+    model_path, tok_path = artifacts
+    server = BackendServer(model_path, tok_path, temperature=0.0,
+                           batch=1, max_ctx=96, max_new_tokens=8, dp=2)
+    assert server.router is not None
+    assert len(server._replica_threads) == 2
+    server.warmup()
+
+    async def converse(port, text):
+        import websockets
+
+        pieces = []
+        async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+            await ws.send(json.dumps({"text": text}))
+            while True:
+                msg = json.loads(await asyncio.wait_for(ws.recv(), 120))
+                if msg["category"] == "OUTPUT":
+                    if msg["text"] == "<eos>":
+                        break
+                    pieces.append(msg["text"])
+        return pieces
+
+    async def run():
+        import websockets
+
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            # batch=1 per replica: two concurrent conversations only fit
+            # if the router spreads them across both replicas
+            return await asyncio.gather(converse(port, "hi"),
+                                        converse(port, "yo"))
+
+    out = asyncio.run(run())
+    assert len(out) == 2 and all(out)
+    assert all(r.tokens_emitted > 0 for r in server.router.replicas)
+    for th in server._replica_threads:
+        th.shutdown()
+
+
+def test_backend_dp_requires_batch(artifacts):
+    from lmrs_tpu.serve.backend import BackendServer
+
+    model_path, tok_path = artifacts
+    with pytest.raises(ValueError, match="--dp requires --batch"):
+        BackendServer(model_path, tok_path, dp=2)
