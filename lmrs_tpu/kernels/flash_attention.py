@@ -76,7 +76,8 @@ def _block_masks(row0, pos, gt: int, s_blk: int, t_q: int,
 def _head_block_update(h: int, q_h, k2d, v2d, ks_row, vs_row,
                        m_scr, l_scr, acc_scr, *, valid, win_add,
                        scale: float, softcap: Optional[float],
-                       quantized: bool, packed4: bool, hd: int):
+                       quantized: bool, packed4: bool, hd: int,
+                       pair: bool = False):
     """One (kv head, sequence block) step of the online-softmax merge —
     THE flash attention math, shared by the stacked and batched kernels
     (they differ only in grid/scalar layout and ref slicing).
@@ -87,10 +88,19 @@ def _head_block_update(h: int, q_h, k2d, v2d, ks_row, vs_row,
     fold into the softmax weights before the p@V dot — dequantization
     never materializes a float K/V block.  `packed4` unpacks biased int4
     nibble bytes (v = 16*q_hi + q_lo + 8 as int8, DESIGN §2 — the same
-    floor/fma trick the weight kernels run)."""
+    floor/fma trick the weight kernels run); with `pair` the nibbles pair
+    ACROSS adjacent heads (head 2p low, head 2p+1 high — the hd-128
+    layout of models.transformer.q4_cache_pair_mode), so the load slices
+    the PAIR's full-hd lane block and keeps one nibble lane set."""
     hd_b = hd // 2 if packed4 else hd   # per-head lane width in the block
 
     def load(ref2d):
+        if packed4 and pair:
+            p = h // 2
+            v = ref2d[:, p * hd:(p + 1) * hd].astype(jnp.float32)
+            qhi = jnp.floor(v / 16.0)
+            qlo = v - 16.0 * qhi - 8.0
+            return (qlo if h % 2 == 0 else qhi).astype(jnp.bfloat16)
         blk = ref2d[:, h * hd_b:(h + 1) * hd_b]
         if packed4:
             v = blk.astype(jnp.float32)
@@ -131,7 +141,7 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
                   n_blk: int, s_blk: int, kh: int, gt: int, t_q: int,
                   hd: int, scale: float, softcap: Optional[float],
                   window: Optional[int], quantized: bool = False,
-                  packed4: bool = False):
+                  packed4: bool = False, pair: bool = False):
     """One sequence block of online-softmax GQA attention, all kv heads.
 
     sp_ref (SMEM int32): [layer, start_blk, pos, last_live].  Scratch
@@ -170,7 +180,7 @@ def _flash_kernel(sp_ref, q_ref, k_ref, v_ref, *rest,
                 vs_ref[0][h] if quantized else None,
                 m_scr, l_scr, acc_scr, valid=valid, win_add=win_add,
                 scale=scale, softcap=softcap, quantized=quantized,
-                packed4=packed4, hd=hd)
+                packed4=packed4, hd=hd, pair=pair)
 
     @pl.when(j == n_blk - 1)
     def _():
@@ -229,7 +239,11 @@ def flash_decode_stacked(
     g = n_heads // kh
     gt = g * t_q
     hd_b = hd // 2 if packed4 else hd     # per-head block lane width
-    assert hd_b % 128 == 0, "flash path requires lane-aligned head blocks"
+    pair = packed4 and hd_b % 128 != 0     # head-pair int4 packing (hd 128)
+    if pair:
+        assert hd % 128 == 0 and kh % 2 == 0, (hd, kh)
+    else:
+        assert hd_b % 128 == 0, "flash path requires lane-aligned head blocks"
     assert k_cache.shape[-1] == kh * hd_b
     assert attn_len <= S
 
@@ -292,7 +306,7 @@ def flash_decode_stacked(
         functools.partial(_flash_kernel, n_blk=n_blk, s_blk=s_blk, kh=kh,
                           gt=gt, t_q=t_q, hd=hd, scale=scale,
                           softcap=softcap, window=window,
-                          quantized=quantized, packed4=packed4),
+                          quantized=quantized, packed4=packed4, pair=pair),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((kh, gt, hd), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -310,7 +324,7 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
                           t_q: int, hd: int, scale: float,
                           softcap: Optional[float],
                           window: Optional[int], quantized: bool = False,
-                          packed4: bool = False):
+                          packed4: bool = False, pair: bool = False):
     """Batched variant: grid (B, n_blk), per-slot pos/start/last_live
     scalar-prefetched (sp layout: [layer, start_0..start_{B-1},
     pos_0..pos_{B-1}, last_0..last_{B-1}]).  Dead blocks past a slot's
@@ -343,7 +357,7 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
                 vs_ref[0, 0][h] if quantized else None,
                 m_scr, l_scr, acc_scr, valid=valid, win_add=win_add,
                 scale=scale, softcap=softcap, quantized=quantized,
-                packed4=packed4, hd=hd)
+                packed4=packed4, hd=hd, pair=pair)
 
     @pl.when(j == n_blk - 1)
     def _():
@@ -516,7 +530,11 @@ def flash_decode_paged(
     g = n_heads // kh
     gt = g * t_q
     hd_b = hd // 2 if packed4 else hd   # per-head pool lane width
-    assert hd_b % 128 == 0
+    pair = packed4 and hd_b % 128 != 0   # head-pair int4 packing (hd 128)
+    if pair:
+        assert hd % 128 == 0 and kh % 2 == 0, (hd, kh)
+    else:
+        assert hd_b % 128 == 0
     assert k_pool.shape[-1] == kh * hd_b
     assert t_q <= psz, (t_q, psz)   # a query window straddles <= 2 pages
 
@@ -579,7 +597,7 @@ def flash_decode_paged(
         functools.partial(_flash_kernel_batched, n_blk=n_blk, s_blk=psz,
                           kh=kh, gt=gt, t_q=t_q, hd=hd, scale=scale,
                           softcap=softcap, window=window,
-                          quantized=quantized, packed4=packed4),
+                          quantized=quantized, packed4=packed4, pair=pair),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, kh, gt, hd), jnp.float32),
         compiler_params=pltpu.CompilerParams(

@@ -154,27 +154,56 @@ def init_kv_cache(cfg: ModelConfig, dtype=jnp.float32, seq_len: Optional[int] = 
                    k_scale=ks, v_scale=vs)
 
 
+def q4_cache_pair_mode(kh: int, hd: int) -> bool:
+    """int4-cache packing selector.  "half" (channel i pairs with
+    i + hd/2 WITHIN a head) keeps each packed head a lane-aligned block
+    only when hd % 256 == 0 (gemma); hd-128 models (llama/phi after lane
+    padding) instead pack HEAD PAIRS — head 2p's channel c in the low
+    nibble, head 2p+1's channel c in the high nibble — so the packed unit
+    is a full 128-lane block again (VERDICT r3 next #8).  Odd kv-head
+    counts keep half packing (XLA unpack path only)."""
+    return hd % 256 != 0 and kh % 2 == 0
+
+
+def q4_cache_supported(kh: int, hd: int) -> bool:
+    """Can an int4 (nibble-packed) cache serve this head geometry on the
+    flash kernels?  Either lane-aligned half-packing (hd % 256 == 0) or
+    head-pair packing (hd % 128 == 0 with an even kv-head count)."""
+    return hd % 256 == 0 or (hd % 128 == 0 and kh % 2 == 0)
+
+
 def quantize_kv_rows_q4(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(T, KH, hd) float -> ((T, KH*hd/2) int8 BIASED nibble bytes,
-    (T, KH) f32 scales).  Symmetric absmax/7 per (token, head); channel i
-    pairs with channel i + hd/2 WITHIN each head ("group-half" pairing, so
-    the unpack is two lane-block halves concatenated — no interleave).
-    The byte layout is the weights' biased scheme (DESIGN.md §2): the int8
-    view reads v = 16*q_hi + (q_lo + 8), so q_hi = floor(v/16) and
-    q_lo = v - 16*q_hi - 8 — one convert, one floor, one fma to unpack,
-    all ops the round-2 weight kernels validated on Mosaic v5e."""
+    (T, KH) f32 scales).  Symmetric absmax/7 per (token, head).
+    Packing is "half" or "pair" per q4_cache_pair_mode (both keep scales
+    per (token, head)).  The byte layout is the weights' biased scheme
+    (DESIGN.md §2): the int8 view reads v = 16*q_hi + (q_lo + 8), so
+    q_hi = floor(v/16) and q_lo = v - 16*q_hi - 8 — one convert, one
+    floor, one fma to unpack, all ops the round-2 weight kernels
+    validated on Mosaic v5e."""
     t, kh, hd = x.shape
     amax = jnp.max(jnp.abs(x), axis=-1)                     # (T, KH)
     inv = jnp.where(amax > 0, 7.0 / amax, 0.0)
     q = jnp.clip(jnp.round(x * inv[..., None]), -8, 7).astype(jnp.int32)
-    qlo, qhi = q[..., : hd // 2], q[..., hd // 2:]
-    v = (16 * qhi + qlo + 8).astype(jnp.int8)               # biased bytes
+    if q4_cache_pair_mode(kh, hd):
+        qlo, qhi = q[:, 0::2, :], q[:, 1::2, :]             # head pairs
+        v = (16 * qhi + qlo + 8).astype(jnp.int8)           # (T, KH/2, hd)
+    else:
+        qlo, qhi = q[..., : hd // 2], q[..., hd // 2:]
+        v = (16 * qhi + qlo + 8).astype(jnp.int8)           # biased bytes
     return v.reshape(t, kh * hd // 2), amax / 7.0
 
 
 def unpack_kv_q4(vals: jax.Array, kh: int, hd: int) -> jax.Array:
     """Inverse of quantize_kv_rows_q4's packing (no scale): (..., KH*hd/2)
     int8 biased bytes -> (..., KH, hd) f32 UNSCALED int values."""
+    if q4_cache_pair_mode(kh, hd):
+        v = vals.astype(jnp.float32).reshape(
+            vals.shape[:-1] + (kh // 2, hd))
+        qhi = jnp.floor(v / 16.0)
+        qlo = v - 16.0 * qhi - 8.0
+        q = jnp.stack([qlo, qhi], axis=-2)                  # (.., KH/2, 2, hd)
+        return q.reshape(vals.shape[:-1] + (kh, hd))
     v = vals.astype(jnp.float32).reshape(vals.shape[:-1] + (kh, hd // 2))
     qhi = jnp.floor(v / 16.0)
     qlo = v - 16.0 * qhi - 8.0
@@ -472,7 +501,8 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
             v_s = jax.lax.dynamic_update_slice(
                 v_s, v_srow.T[None], (layer_idx, 0, pos))
 
-        quant4_flash_ok = (not quant4) or cfg.cache_head_dim % 256 == 0
+        quant4_flash_ok = (not quant4) or q4_cache_supported(
+            cfg.n_kv_heads, cfg.cache_head_dim)
         if _flash_eligible(cfg, t_q, attn_len) and quant4_flash_ok:
             from lmrs_tpu.kernels.flash_attention import flash_decode_stacked
 

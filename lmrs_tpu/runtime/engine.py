@@ -101,12 +101,15 @@ def attn_bucket(cfg: ModelConfig, needed: int, min_bucket: int,
     b = _next_pow2(needed, min(min_bucket, cfg.seq_len), cfg.seq_len)
     from lmrs_tpu.models.transformer import _flash_eligible
 
-    # the int4 cache's in-kernel nibble unpack needs a 256-lane head
-    # block (transformer._layer's quant4_flash_ok); models with
-    # cache_head_dim 128 fall back to the XLA path, which MUST keep
-    # its pow-2 rungs — collapsing would run dense attention over the
-    # full seq_len every step
-    quant4_ok = (cache_dtype != "int4" or cfg.cache_head_dim % 256 == 0)
+    # the int4 cache's in-kernel nibble unpack needs a lane-aligned packed
+    # unit (a 256-lane head block, or a 128-lane head PAIR — see
+    # transformer.q4_cache_supported); unsupported geometries fall back to
+    # the XLA path, which MUST keep its pow-2 rungs — collapsing would run
+    # dense attention over the full seq_len every step
+    from lmrs_tpu.models.transformer import q4_cache_supported
+
+    quant4_ok = (cache_dtype != "int4"
+                 or q4_cache_supported(cfg.n_kv_heads, cfg.cache_head_dim))
     if (quant4_ok and _flash_eligible(cfg, 1, b)
             and _flash_eligible(cfg, prefill_chunk, cfg.seq_len)):
         return cfg.seq_len

@@ -126,10 +126,16 @@ class BatchScheduler:
                 raise ValueError("the paged cache needs the fast kernel "
                                  "path and cache_head_dim % 128 == 0 "
                                  f"(got {cfg.cache_head_dim})")
-            if cache_dtype == "int4" and cfg.cache_head_dim % 256:
-                raise ValueError("the int4 pool's in-kernel nibble unpack "
-                                 "needs cache_head_dim % 256 == 0 "
-                                 f"(got {cfg.cache_head_dim})")
+            if cache_dtype == "int4":
+                from lmrs_tpu.models.transformer import q4_cache_supported
+
+                if not q4_cache_supported(cfg.n_kv_heads,
+                                          cfg.cache_head_dim):
+                    raise ValueError(
+                        "the int4 pool's in-kernel nibble unpack needs "
+                        "cache_head_dim % 256 == 0 or (cache_head_dim % "
+                        "128 == 0 with an even kv-head count); got "
+                        f"hd={cfg.cache_head_dim}, kh={cfg.n_kv_heads}")
             # a query window must fit one page (the paged kernel's
             # t_q <= psz contract): the largest window is the padded
             # prefill chunk / the speculative verify width

@@ -356,9 +356,43 @@ def test_paged_int4_pool_matches_engine(model):
     assert sched.cache.k.shape[-1] == kv_m // 2
 
 
-def test_paged_int4_requires_wide_heads(model):
-    cfg, params = model   # cache_head_dim = 128
-    with pytest.raises(ValueError, match="256"):
+def test_paged_int4_pair_hd128_matches_engine(model):
+    """hd-128 int4 pool (head-PAIR nibble packing, VERDICT r3 next #8):
+    llama/phi head geometry is now eligible for the int4 paged pool —
+    greedy tokens match the single-stream int4 engine (same pair
+    quantization, stacked vs paged kernel)."""
+    from lmrs_tpu.runtime.engine import Engine, GenerationConfig
+
+    cfg, params = model   # cache_head_dim = 128, n_kv_heads = 2 (even)
+    prompt = [1, 5, 9, 2]
+    eng = Engine(cfg, params, cache_dtype="int4", min_attn_bucket=32,
+                 prefill_chunk=8, decode_chunk=4)
+    want = eng.generate(prompt, GenerationConfig(temperature=0.0,
+                                                 max_new_tokens=N_NEW))
+    assert len(want) == N_NEW
+
+    sched = BatchScheduler(cfg, params, max_batch=2, max_ctx=128,
+                           cache_dtype="int4", prefill_chunk=8,
+                           decode_chunk=4, min_attn_bucket=32,
+                           temperature=0.0, page_size=64,
+                           pool_tokens=256)
+    done = {}
+    sched.submit(prompt, max_new_tokens=N_NEW,
+                 on_done=lambda o: done.setdefault("x", o))
+    sched.run()
+    assert done["x"] == want, (done["x"], want)
+    kv_m = cfg.n_kv_heads * cfg.cache_head_dim
+    assert sched.cache.k.shape[-1] == kv_m // 2
+
+
+def test_paged_int4_rejects_odd_narrow_heads():
+    """An odd kv-head count at hd 128 has no lane-aligned int4 packing —
+    the pool must reject it loudly."""
+    kw = dict(KW, n_heads=1, n_kv_heads=1)
+    cfg = tiny_config(ModelType.GEMMA, QuantType.Q8_0, **kw)
+    params = params_from_weights(cfg, random_weights(cfg, seed=3),
+                                 stack_layers=True, fuse_qkv=True)
+    with pytest.raises(ValueError, match="kv-head"):
         BatchScheduler(cfg, params, cache_dtype="int4", pool_tokens=256)
 
 

@@ -183,3 +183,30 @@ def test_padded_cache_head_dim_matches_golden():
     got = eng.generate(prompt, GenerationConfig(temperature=0.0,
                                                 max_new_tokens=6))
     assert got == want
+
+
+def test_q4_cache_pack_roundtrip_modes():
+    """int4 KV pack/unpack inverts exactly in BOTH packings: group-half
+    (hd % 256 == 0) and head-pair (hd 128, even kv heads); odd kv heads
+    fall back to half packing."""
+    import jax.numpy as jnp
+
+    from lmrs_tpu.models.transformer import (q4_cache_pair_mode,
+                                             quantize_kv_rows_q4,
+                                             unpack_kv_q4)
+
+    rng = np.random.default_rng(5)
+    for kh, hd, want_pair in ((2, 256, False), (2, 128, True),
+                              (4, 128, True), (3, 128, False)):
+        assert q4_cache_pair_mode(kh, hd) == want_pair, (kh, hd)
+        x = jnp.asarray(rng.standard_normal((3, kh, hd)), jnp.float32)
+        packed, scales = quantize_kv_rows_q4(x)
+        assert packed.shape == (3, kh * hd // 2)
+        vals = unpack_kv_q4(packed, kh, hd)      # unscaled ints
+        # reference quantization: absmax/7 per (token, head), clip [-8,7]
+        amax = np.max(np.abs(np.asarray(x)), axis=-1)
+        inv = np.where(amax > 0, 7.0 / amax, 0.0)
+        q_ref = np.clip(np.round(np.asarray(x) * inv[..., None]), -8, 7)
+        np.testing.assert_array_equal(np.asarray(vals), q_ref)
+        np.testing.assert_allclose(np.asarray(scales), amax / 7.0,
+                                   rtol=1e-6)
