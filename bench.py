@@ -331,6 +331,21 @@ def bench_batched(f, params, config_name, quant_name, batch, n_tokens,
                                cache_dtype=cache_dtype, decode_chunk=16,
                                temperature=0.0, pool_tokens=pool,
                                page_size=page)
+    # LMRS_BENCH_DP=N: aggregate throughput over N scheduler REPLICAS on
+    # disjoint tp-device groups (serve.replicas.ReplicaRouter — the --dp
+    # serving path).  Load spreads batch x dp prompts over the fleet.
+    dp = int(os.environ.get("LMRS_BENCH_DP", "1"))
+    if dp > 1:
+        from lmrs_tpu.serve.replicas import ReplicaRouter
+
+        log(f"replica router: dp={dp} x tp={tp} over "
+            f"{jax.devices()[:dp * tp]}")
+        sched = ReplicaRouter(f, dp=dp, tp=tp, max_batch=batch,
+                              max_ctx=min(max_ctx, cfg.seq_len),
+                              cache_dtype=cache_dtype, decode_chunk=16,
+                              temperature=0.0, pool_tokens=pool,
+                              page_size=page)
+        batch = batch * dp
     rng = np.random.default_rng(0)
     prompts = [list(rng.integers(3, cfg.vocab_size - 1, size=n_prompt))
                for _ in range(batch)]
@@ -342,7 +357,8 @@ def bench_batched(f, params, config_name, quant_name, batch, n_tokens,
     sched.run()
     log(f"warmup (compile): {time.time() - t0:.1f}s")
 
-    sched.tokens_emitted, sched.decode_seconds = 0, 0.0
+    for s in getattr(sched, "replicas", [sched]):
+        s.tokens_emitted, s.decode_seconds = 0, 0.0
     done = []
     t0 = time.perf_counter()
     for p in prompts:
@@ -355,13 +371,14 @@ def bench_batched(f, params, config_name, quant_name, batch, n_tokens,
     log(f"batched: {len(done)} seqs, {total} tokens in {wall:.2f}s")
 
     baseline = BASELINES.get((config_name, quant_name))
+    dp_tag = f" dp={dp}" * (dp > 1)
     print(json.dumps({
-        "metric": f"{config_name} {quant_name.upper()} batched({batch}) "
-                  "aggregate decode tok/s/chip",
+        "metric": f"{config_name} {quant_name.upper()} batched({batch})"
+                  f"{dp_tag} aggregate decode tok/s",
         "value": round(toks, 2),
         "unit": "tok/s",
         "vs_baseline": round(toks / baseline, 2) if baseline else None,
-        "extra": {"batch": batch, "tp": tp, "pool_tokens": pool,
+        "extra": {"batch": batch, "tp": tp, "dp": dp, "pool_tokens": pool,
                   "per_seq_tok_s": round(toks / batch, 2)},
     }))
 
