@@ -108,20 +108,32 @@ def test_large_prefill_chunk_disables_collapse(monkeypatch):
     assert small._attn_bucket(600) == 2048      # collapsed onto seq_len
 
 
-def test_int4_cache_head128_keeps_bucket_ladder(monkeypatch):
-    """int4 caches on cache_head_dim-128 models can't run the flash kernel
-    (the in-kernel nibble unpack needs a 256-lane head block), so the
-    bucket collapse must NOT fire — collapsing would run dense XLA
-    attention over the full seq_len every step."""
-    cfg, params = _mk_model()   # cache_head_dim = 128
+def test_int4_cache_bucket_collapse_by_geometry(monkeypatch):
+    """int4 caches collapse buckets only where the flash kernel has a
+    lane-aligned packing: hd-128 with EVEN kv heads now collapses (head-
+    pair packing, round 4); an ODD kv-head count at hd 128 has no aligned
+    packing, so its ladder must stay intact — collapsing would run dense
+    XLA attention over the full seq_len every step."""
     monkeypatch.setenv("LMRS_FLASH_MIN_BUCKET", "128")
+    cfg, params = _mk_model()   # cache_head_dim = 128, n_kv_heads = 2
     _fresh_compile_caches()
     eng4 = Engine(cfg, params, cache_dtype="int4", min_attn_bucket=64,
                   prefill_chunk=16, decode_chunk=4)
-    assert eng4._attn_bucket(70) == 128         # ladder intact
-    assert eng4._attn_bucket(200) == 256
+    assert eng4._attn_bucket(70) == cfg.seq_len   # pair packing: collapse
+    # odd kv-head count: half packing, XLA path only, ladder intact
+    cfg1 = tiny_config(ModelType.GEMMA, QuantType.Q8_0, dim=128,
+                       hidden_dim=256, n_layers=2, n_heads=1, n_kv_heads=1,
+                       head_dim=128, vocab_size=256, group_size=32,
+                       seq_len=1024, matmul_impl="fast")
+    params1 = params_from_weights(cfg1, random_weights(cfg1, seed=11),
+                                  stack_layers=True, fuse_qkv=True)
+    _fresh_compile_caches()
+    eng1 = Engine(cfg1, params1, cache_dtype="int4", min_attn_bucket=64,
+                  prefill_chunk=16, decode_chunk=4)
+    assert eng1._attn_bucket(70) == 128          # ladder intact
+    assert eng1._attn_bucket(200) == 256
     # the int8 cache (no lane constraint) still collapses
     _fresh_compile_caches()
-    eng8 = Engine(cfg, params, cache_dtype=jnp.int8, min_attn_bucket=64,
+    eng8 = Engine(cfg1, params1, cache_dtype=jnp.int8, min_attn_bucket=64,
                   prefill_chunk=16, decode_chunk=4)
-    assert eng8._attn_bucket(200) == cfg.seq_len
+    assert eng8._attn_bucket(200) == cfg1.seq_len
