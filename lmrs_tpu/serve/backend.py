@@ -109,10 +109,10 @@ class BackendServer:
             # connection gets its own Engine over the shared params +
             # compiled programs (engine._mesh_fns_cached), or — with
             # --batch — all connections share one tp-mesh scheduler
-            if multimodal and cp > 1:
-                raise ValueError("--multimodal with --cp is not supported "
-                                 "yet (image-prefix chunks would straddle "
-                                 "sequence shards); --tp works")
+            # --multimodal composes with cp: the engine feeds ragged image
+            # prefixes through the fixed cp chunk grid (pad rows stay
+            # causally dead, misaligned resumes fall back to single-token
+            # steps) — parity-tested in tests/test_engine_mesh.py
             if batch > 0:
                 if cp > 1:
                     raise ValueError("--batch with --cp is not supported "
