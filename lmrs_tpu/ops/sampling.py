@@ -75,18 +75,30 @@ def sample_batched(logits: jnp.ndarray, temperature: jnp.ndarray,
     to sample_argmax regardless of the other slots.
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    t_safe = jnp.maximum(temperature, 1e-6)[:, None]
-    probs = jax.nn.softmax(logits.astype(jnp.float32) / t_safe, axis=-1)
-    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
-    order = jnp.argsort(probs, axis=-1)[..., ::-1]
-    csum = jnp.cumsum(sorted_probs, axis=-1)
-    # per-slot effective p: outside (0,1) keep the whole distribution
-    nucleus = (top_p > 0.0) & (top_p < 1.0)
-    p_eff = jnp.where(nucleus, top_p, 2.0)[:, None]
-    keep = jnp.roll(csum, 1, axis=-1) < p_eff
-    keep = keep.at[..., 0].set(True)
-    filtered = jnp.where(keep, sorted_probs, 0.0)
-    idx = jax.random.categorical(key, jnp.log(filtered + 1e-30), axis=-1)
-    sampled = jnp.take_along_axis(order, idx[..., None],
-                                  axis=-1)[..., 0].astype(jnp.int32)
+
+    def _sampled(args):
+        logits, temperature, top_p, key = args
+        t_safe = jnp.maximum(temperature, 1e-6)[:, None]
+        probs = jax.nn.softmax(logits.astype(jnp.float32) / t_safe, axis=-1)
+        sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+        order = jnp.argsort(probs, axis=-1)[..., ::-1]
+        csum = jnp.cumsum(sorted_probs, axis=-1)
+        # per-slot effective p: outside (0,1) keep the whole distribution
+        nucleus = (top_p > 0.0) & (top_p < 1.0)
+        p_eff = jnp.where(nucleus, top_p, 2.0)[:, None]
+        keep = jnp.roll(csum, 1, axis=-1) < p_eff
+        keep = keep.at[..., 0].set(True)
+        filtered = jnp.where(keep, sorted_probs, 0.0)
+        idx = jax.random.categorical(key, jnp.log(filtered + 1e-30),
+                                     axis=-1)
+        return jnp.take_along_axis(order, idx[..., None],
+                                   axis=-1)[..., 0].astype(jnp.int32)
+
+    # the nucleus path sorts a (B, V) tensor TWICE — ~20 ms/step at
+    # B=16 x llama's 128k vocab, which dominated the all-greedy batched
+    # decode (measured: B=16 aggregate 621 tok/s with the sort
+    # unconditional).  Greedy-only batches skip it at runtime.
+    sampled = jax.lax.cond(jnp.any(temperature > 0.0), _sampled,
+                           lambda args: greedy,
+                           (logits, temperature, top_p, key))
     return jnp.where(temperature == 0.0, greedy, sampled)
