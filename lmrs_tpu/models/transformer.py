@@ -842,11 +842,16 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
         kv_w = kd.shape[-1]              # kv_m, or kv_m/2 nibble-packed
         kd3p = kd.reshape(n_slots, t_q, kv_w)
         vd3p = vd.reshape(n_slots, t_q, kv_w)
+        # hoist the page-table lookups out of the slot loop: one (B,)
+        # vector gather instead of B scalar gathers per layer per step
+        # (the scalar form cost ~L*B tiny ops per decode step)
+        pg0v = jnp.take_along_axis(table, (pos // psz)[:, None],
+                                   axis=1)[:, 0]
+        off0v = pos % psz
 
         def _upd_slot(i, kv):
-            vp0 = pos[i]
-            pg0 = table[i, vp0 // psz]
-            off0 = vp0 % psz
+            pg0 = pg0v[i]
+            off0 = off0v[i]
 
             def slab(kv):
                 kc, vc, ks, vs = kv
