@@ -268,19 +268,26 @@ def _flash_eligible(cfg: ModelConfig, t_q: int, attn_len: int) -> bool:
 def cp_masked_write(cache_arr: jax.Array, rows: jax.Array, layer_idx,
                     pos, s_loc: int, axis: str) -> jax.Array:
     """Write T (KH*hd)-merged rows at GLOBAL position `pos` into this
-    shard's local sequence block iff the rows fall inside it; other shards
-    re-write their own current rows (no-op).  dynamic_update_slice clamps,
-    so the masked read-modify-write keeps out-of-range shards untouched.
-    Multi-token writes must not straddle a shard boundary (the engine
-    aligns prefill chunks; decode T=1 is always safe)."""
+    shard's local sequence block — ROW-exact: each shard takes exactly the
+    sub-range of rows it owns, so a multi-token window MAY straddle a
+    shard boundary (speculative verify windows, misaligned chunk resumes).
+    Out-of-range shards re-write their own current rows (no-op RMW).
+
+    Mechanics: anchor a T-row local window at idx = clip(lp, 0, s_loc-T)
+    where lp = pos - shard*s_loc; local window row m corresponds to global
+    write row j = idx + m - lp, valid iff 0 <= j < T.  Requires
+    T <= s_loc (the engine's chunk/spec sizing guarantees it)."""
     t = rows.shape[0]
     r = jax.lax.axis_index(axis)
     lp = pos - r * s_loc
-    ok = (lp >= 0) & (lp <= s_loc - t)
     idx = jnp.clip(lp, 0, s_loc - t)
+    j = idx + jnp.arange(t, dtype=jnp.int32) - lp
+    mask = (j >= 0) & (j < t)
+    picked = jnp.take(rows, jnp.clip(j, 0, t - 1), axis=0)
     old = jax.lax.dynamic_slice(
         cache_arr, (layer_idx, idx, 0), (1, t, cache_arr.shape[2]))
-    new = jnp.where(ok, rows[None].astype(cache_arr.dtype), old)
+    new = jnp.where(mask[None, :, None],
+                    picked[None].astype(cache_arr.dtype), old)
     return jax.lax.dynamic_update_slice(cache_arr, new,
                                         (layer_idx, idx, 0))
 
@@ -289,15 +296,18 @@ def cp_masked_write_scales(s_arr: jax.Array, srows: jax.Array, layer_idx,
                            pos, s_loc: int, axis: str) -> jax.Array:
     """cp_masked_write for the (L, KH, S)-layout scale planes of an int8
     cache: srows is (T, KH) (token-major, matching quantize_kv_rows); the
-    write lands at sequence offset `pos` of the owning shard."""
+    write lands at sequence offset `pos` of the owning shard.  Row-exact
+    like cp_masked_write — straddling windows split across shards."""
     t = srows.shape[0]
     r = jax.lax.axis_index(axis)
     lp = pos - r * s_loc
-    ok = (lp >= 0) & (lp <= s_loc - t)
     idx = jnp.clip(lp, 0, s_loc - t)
+    j = idx + jnp.arange(t, dtype=jnp.int32) - lp
+    mask = (j >= 0) & (j < t)
+    picked = jnp.take(srows, jnp.clip(j, 0, t - 1), axis=0)  # (T, KH)
     old = jax.lax.dynamic_slice(
         s_arr, (layer_idx, 0, idx), (1, s_arr.shape[1], t))
-    new = jnp.where(ok, srows.T[None], old)
+    new = jnp.where(mask[None, None, :], picked.T[None], old)
     return jax.lax.dynamic_update_slice(s_arr, new, (layer_idx, 0, idx))
 
 

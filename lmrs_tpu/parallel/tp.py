@@ -571,18 +571,22 @@ def init_cp_cache(cfg: ModelConfig, mesh: Mesh, dtype=jnp.bfloat16,
 
 def _cp_masked_write(cache_arr, rows, layer_idx: int, pos, s_loc: int):
     """Write T rows at GLOBAL position `pos` into this shard's local cache
-    block iff the rows fall inside it; other shards re-write their own
-    current rows (no-op).  dynamic_update_slice clamps, so the masked
-    read-modify-write keeps out-of-range shards untouched."""
+    block — row-exact (each shard takes the sub-range of rows it owns, so
+    windows may straddle a shard boundary); out-of-range shards re-write
+    their own current rows (no-op RMW).  See transformer.cp_masked_write
+    for the index algebra.  Requires T <= s_loc."""
     t = rows.shape[0]
     r = jax.lax.axis_index(CP_AXIS)
     lp = pos - r * s_loc
-    ok = (lp >= 0) & (lp <= s_loc - t)
     idx = jnp.clip(lp, 0, s_loc - t)
+    j = idx + jnp.arange(t, dtype=jnp.int32) - lp
+    mask = (j >= 0) & (j < t)
+    picked = jnp.take(rows, jnp.clip(j, 0, t - 1), axis=0)
     old = jax.lax.dynamic_slice(
         cache_arr, (layer_idx, idx, 0, 0),
         (1, t, cache_arr.shape[2], cache_arr.shape[3]))
-    new = jnp.where(ok, rows[None].astype(cache_arr.dtype), old)
+    new = jnp.where(mask[None, :, None, None],
+                    picked[None].astype(cache_arr.dtype), old)
     return jax.lax.dynamic_update_slice(cache_arr, new,
                                         (layer_idx, idx, 0, 0))
 

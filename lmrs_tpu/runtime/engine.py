@@ -412,8 +412,7 @@ class Engine:
                         self.params, self.cache, jnp.int32(0), jnp.int32(0),
                         key, n_steps=self.decode_chunk, attn_len=b,
                         temperature=temperature, top_p=top_p)
-                if (spec_k > 0 and self._cp == 1
-                        and b >= first_decode_bucket
+                if (spec_k > 0 and b >= first_decode_bucket
                         and self.decode_chunk * (spec_k + 1) + 2 <= b):
                     # precompile the speculative chunk program too — a
                     # mid-conversation compile through the remote tunnel
@@ -544,12 +543,10 @@ class Engine:
         if on_token is not None:
             on_token(tok)
 
-        # speculation requires aligned multi-row cache writes; on cp
-        # meshes the verify window can straddle a sequence-shard boundary
-        # (cp_masked_write silently drops such writes), so cp keeps the
-        # plain chunked path
-        if (gen.speculative_k > 0 and gen.temperature == 0.0
-                and self._cp == 1):
+        # speculation composes with cp: cp_masked_write is row-exact, so a
+        # verify window straddling a sequence-shard boundary splits across
+        # the owning shards (tests/test_engine_mesh.py spec-on-cp parity)
+        if gen.speculative_k > 0 and gen.temperature == 0.0:
             self._generate_speculative(gen, stop, out, on_token)
             self.metrics.decode_tokens += len(out)
             self.metrics.decode_seconds += time.perf_counter() - t_decode0

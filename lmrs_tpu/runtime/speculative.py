@@ -147,6 +147,11 @@ def make_spec_chunk_mesh(cfg: ModelConfig, mesh, param_spec,
              donate_argnames=("cache", "h"))
     def spec_chunk(params, cache, h, pos, n_steps: int, k: int,
                    attn_len: int):
+        # cp: the row-exact cp_masked_write splits a straddling verify
+        # window across shards, but each shard's anchored window needs
+        # T = k+1 rows of local block (transformer.cp_masked_write)
+        assert cp == 1 or k + 1 <= cfg.seq_len // cp, \
+            f"speculative k={k} verify window exceeds the cp local block"
         attn = cfg.seq_len if cp > 1 else attn_len
 
         def body(params, cache, h, pos):

@@ -141,10 +141,9 @@ class BackendServer:
         self.temperature = temperature
         # speculative decoding: single-engine mode needs a greedy server
         # temperature; the batched scheduler gates greedy PER SLOT inside
-        # the chunk, so it takes spec_k unconditionally.  cp meshes keep
-        # the plain path (see Engine._generate_speculative).
-        self.spec_k = spec_k if (batch > 0 or (temperature == 0.0
-                                               and cp == 1)) else 0
+        # the chunk, so it takes spec_k unconditionally.  cp composes: the
+        # row-exact cp_masked_write splits straddling verify windows.
+        self.spec_k = spec_k if (batch > 0 or temperature == 0.0) else 0
         self.top_p = top_p
         self.seed = seed
         self.num_crops = num_crops
