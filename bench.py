@@ -139,11 +139,8 @@ def main():
         jax.block_until_ready(jax.tree_util.tree_leaves(params))
         log(f"load+transfer: {time.time() - t0:.1f}s")
     if batch > 0:
-        if cp > 1:
-            raise ValueError("LMRS_BENCH_BATCH with LMRS_BENCH_CP is not "
-                             "supported (the scheduler shards kv heads)")
         return bench_batched(f, params, config_name, quant_name, batch,
-                             n_tokens, n_prompt, tp=tp)
+                             n_tokens, n_prompt, tp=tp, cp=cp)
 
     # LMRS_BENCH_KV=int8 runs the quantized KV cache (half the attention
     # HBM traffic of bf16, double the max context per chip)
@@ -291,11 +288,12 @@ def bench_image_encode(f, cfg, params):
 
 
 def bench_batched(f, params, config_name, quant_name, batch, n_tokens,
-                  n_prompt, tp=1):
+                  n_prompt, tp=1, cp=1):
     """Continuous-batching aggregate throughput: `batch` concurrent
     fixed-length generations through the scheduler (tp>1: the batched
     step's matmuls shard over a Megatron tensor-parallel mesh too —
-    LMRS_BENCH_BATCH=8 LMRS_BENCH_TP=4)."""
+    LMRS_BENCH_BATCH=8 LMRS_BENCH_TP=4; cp>1: the batched cache's
+    sequence axis shards over cp — LMRS_BENCH_BATCH=8 LMRS_BENCH_CP=2)."""
     import time
 
     import jax
@@ -313,12 +311,13 @@ def bench_batched(f, params, config_name, quant_name, batch, n_tokens,
     page = int(os.environ.get("LMRS_BENCH_PAGE", "512"))
     from lmrs_tpu.runtime.engine import CACHE_DTYPES
     cache_dtype = CACHE_DTYPES[os.environ.get("LMRS_BENCH_KV", "bfloat16")]
-    if tp > 1:
+    if tp > 1 or cp > 1:
         from lmrs_tpu.parallel.tp import make_mesh_scheduler
 
-        log(f"mesh scheduler: tp={tp} over {jax.devices()[:tp]}"
+        log(f"mesh scheduler: tp={tp} cp={cp} over "
+            f"{jax.devices()[:tp * cp]}"
             + (f", paged pool {pool}" if pool else ""))
-        sched = make_mesh_scheduler(f, tp=tp, max_batch=batch,
+        sched = make_mesh_scheduler(f, tp=tp, cp=cp, max_batch=batch,
                                     max_ctx=min(max_ctx, cfg.seq_len),
                                     cache_dtype=cache_dtype,
                                     decode_chunk=16, temperature=0.0,

@@ -324,15 +324,26 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
                           t_q: int, hd: int, scale: float,
                           softcap: Optional[float],
                           window: Optional[int], quantized: bool = False,
-                          packed4: bool = False, pair: bool = False):
+                          packed4: bool = False, pair: bool = False,
+                          lse: bool = False):
     """Batched variant: grid (B, n_blk), per-slot pos/start/last_live
-    scalar-prefetched (sp layout: [layer, start_0..start_{B-1},
+    scalar-prefetched (sp layout: [layer, seq_base, start_0..start_{B-1},
     pos_0..pos_{B-1}, last_0..last_{B-1}]).  Dead blocks past a slot's
     last live block are DMA-elided (clamped index) and compute-skipped —
     a freshly admitted short conversation doesn't pay the deepest slot's
-    bucket.  `quantized` as in _flash_kernel."""
+    bucket.  `quantized` as in _flash_kernel.
+
+    `seq_base` (sp[1]) is the GLOBAL row index of this cache block's row 0
+    — nonzero when the sequence axis is sharded over a cp mesh axis and
+    the kernel runs on one shard's rows (masks compare global positions).
+    With `lse` the kernel emits the RAW online-softmax pieces (acc, m, l)
+    instead of acc/l, so the caller can merge partial attention across
+    sequence shards with pmax/psum (the same reduction
+    ops.attention.attention_cp runs for the einsum path)."""
     if quantized:
-        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        ks_ref, vs_ref, *rest = rest
+    if lse:
+        o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr = rest
     else:
         o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
@@ -345,10 +356,10 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    @pl.when(sp_ref[1 + b] + j <= sp_ref[1 + 2 * n_b + b])
+    @pl.when(sp_ref[2 + b] + j <= sp_ref[2 + 2 * n_b + b])
     def _live():
-        pos = sp_ref[1 + n_b + b]
-        row0 = (sp_ref[1 + b] + j) * s_blk
+        pos = sp_ref[2 + n_b + b]
+        row0 = sp_ref[1] + (sp_ref[2 + b] + j) * s_blk
         valid, win_add = _block_masks(row0, pos, gt, s_blk, t_q, window)
         for h in range(kh):
             _head_block_update(
@@ -362,7 +373,12 @@ def _flash_kernel_batched(sp_ref, q_ref, k_ref, v_ref, *rest,
     @pl.when(j == n_blk - 1)
     def _():
         for h in range(kh):
-            o_ref[0, h] = acc_scr[h] / l_scr[h][:, None]
+            if lse:
+                o_ref[0, h] = acc_scr[h]
+                m_ref[0, h] = m_scr[h]
+                l_ref[0, h] = l_scr[h]
+            else:
+                o_ref[0, h] = acc_scr[h] / l_scr[h][:, None]
 
 
 def flash_decode_batched(
@@ -381,13 +397,23 @@ def flash_decode_batched(
     interpret: Optional[bool] = None,
     k_scale: Optional[jax.Array] = None,   # (B, L, KH, S) f32 — int8 cache
     v_scale: Optional[jax.Array] = None,
+    seq_base=None,           # traced int32: GLOBAL row index of cache row 0
+    return_lse: bool = False,
 ) -> jax.Array:
     """Per-slot blockwise decode attention for the continuous-batching step;
     returns (B, H, hd) (or (B, T, H, hd)) f32.  Program size is O(1) in B —
     the batch is a grid dimension, not an unrolled loop.  A 4D q carries
     t_q tokens per slot (the batched speculative verify window at long
     context): row g*T + t of a head block is query head ? of token t, with
-    per-slot causal masking at q_pos = pos + t."""
+    per-slot causal masking at q_pos = pos + t.
+
+    Context-parallel callers (the batched scheduler over a cp mesh) pass
+    `seq_base` = axis_index(cp) * S_local — the cache operand is ONE
+    sequence shard, masks run on global positions — and `return_lse=True`
+    to get the raw online-softmax pieces (acc (B,[T,]H,hd), m (B,[T,]H),
+    l (B,[T,]H)); the shards then merge with
+    m_g=pmax(m); w=exp(m-m_g); out=psum(acc*w)/psum(l*w).  A shard with
+    no live rows contributes m=_MASK_NEG so its w underflows to exactly 0."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if q.ndim == 3:
@@ -409,15 +435,21 @@ def flash_decode_batched(
     assert k_cache.shape[-1] == kh * hd
     s_blk, n_total, n_blk = _plan_blocks(attn_len, t_q, window, s_blk)
 
+    base = jnp.asarray(0 if seq_base is None else seq_base, jnp.int32)
+    # start/last_live are LOCAL block indices (this shard's cache rows);
+    # a shard whose rows all lie past pos clamps to block 0, which the
+    # kernel computes fully masked (w=0 in the cp merge)
+    pos_l = jnp.asarray(pos, jnp.int32) - base
     if window is not None and n_blk < n_total:
-        first_row = jnp.maximum(pos - window, 0)
-        start = jnp.minimum(first_row // s_blk, n_total - n_blk)
+        first_row = jnp.maximum(jnp.asarray(pos, jnp.int32) - window, 0)
+        start = jnp.clip((first_row - base) // s_blk, 0, n_total - n_blk)
     else:
         start = jnp.zeros((B,), jnp.int32)
-    last_live = jnp.minimum((pos + t_q - 1) // s_blk,
-                            n_total - 1).astype(jnp.int32)
+    last_live = jnp.clip((pos_l + t_q - 1) // s_blk,
+                         0, n_total - 1).astype(jnp.int32)
     sp = jnp.concatenate([
         jnp.asarray(layer_idx, jnp.int32)[None],
+        base[None],
         start.astype(jnp.int32),
         jnp.asarray(pos, jnp.int32),
         last_live])
@@ -426,10 +458,10 @@ def flash_decode_batched(
     v4 = v_cache
 
     def _kv_idx(b, j, sp):
-        return (b, sp[0], jnp.minimum(sp[1 + b] + j, sp[1 + 2 * B + b]), 0)
+        return (b, sp[0], jnp.minimum(sp[2 + b] + j, sp[2 + 2 * B + b]), 0)
 
     def _ks_idx(b, j, sp):
-        return (b, sp[0], 0, jnp.minimum(sp[1 + b] + j, sp[1 + 2 * B + b]))
+        return (b, sp[0], 0, jnp.minimum(sp[2 + b] + j, sp[2 + 2 * B + b]))
 
     quantized = k_scale is not None
     in_specs = [
@@ -446,13 +478,22 @@ def flash_decode_batched(
                                   memory_space=pltpu.VMEM)] * 2
         operands += [k_scale, v_scale]
 
+    o_spec = pl.BlockSpec((1, kh, gt, hd), lambda b, j, sp: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs = o_spec
+    out_shape = jax.ShapeDtypeStruct((B, kh, gt, hd), jnp.float32)
+    if return_lse:
+        ml_spec = pl.BlockSpec((1, kh, gt), lambda b, j, sp: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out_specs = [o_spec, ml_spec, ml_spec]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, kh, gt), jnp.float32),
+                     jax.ShapeDtypeStruct((B, kh, gt), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_blk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, kh, gt, hd),
-                               lambda b, j, sp: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((kh, gt), jnp.float32),
             pltpu.VMEM((kh, gt), jnp.float32),
@@ -463,14 +504,26 @@ def flash_decode_batched(
         functools.partial(_flash_kernel_batched, n_blk=n_blk, s_blk=s_blk,
                           kh=kh, gt=gt, t_q=t_q, hd=hd, scale=scale,
                           softcap=softcap, window=window,
-                          quantized=quantized),
+                          quantized=quantized, lse=return_lse),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, kh, gt, hd), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
 
+    if return_lse:
+        acc, m, l = out
+        if t_q == 1:
+            return (acc.reshape(B, n_heads, hd),
+                    m.reshape(B, n_heads), l.reshape(B, n_heads))
+        # (B, KH, G*T[, hd]) -> (B, T, H[, hd]) — row g*T + t layout
+        return (acc.reshape(B, kh, g, t_q, hd).transpose(0, 3, 1, 2, 4)
+                .reshape(B, t_q, n_heads, hd),
+                m.reshape(B, kh, g, t_q).transpose(0, 3, 1, 2)
+                .reshape(B, t_q, n_heads),
+                l.reshape(B, kh, g, t_q).transpose(0, 3, 1, 2)
+                .reshape(B, t_q, n_heads))
     if t_q == 1:
         return out.reshape(B, n_heads, hd)
     # (B, KH, G*T, hd) -> (B, T, H, hd)
@@ -551,6 +604,7 @@ def flash_decode_paged(
                             n_total - 1).astype(jnp.int32)
     sp = jnp.concatenate([
         jnp.asarray(layer_idx, jnp.int32)[None],
+        jnp.zeros((1,), jnp.int32),        # seq_base (pages are never cp)
         start.astype(jnp.int32),
         jnp.asarray(pos, jnp.int32),
         last_live,
@@ -558,8 +612,8 @@ def flash_decode_paged(
     ])
 
     def _page(b, j, sp):
-        vb = jnp.minimum(sp[1 + b] + j, sp[1 + 2 * B + b])
-        return sp[1 + 3 * B + b * maxp + vb]
+        vb = jnp.minimum(sp[2 + b] + j, sp[2 + 2 * B + b])
+        return sp[2 + 3 * B + b * maxp + vb]
 
     def _kv_idx(b, j, sp):
         # pool and scale-pool blocks share the (layer, page, 0, 0) index

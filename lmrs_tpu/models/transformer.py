@@ -936,6 +936,93 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
     kd3 = kd.reshape(n_slots, t_q, kv_m)
     vd3 = vd.reshape(n_slots, t_q, kv_m)
 
+    if cfg.cp_axis is not None:
+        # Batched serving over a cp mesh: the contiguous cache's SEQUENCE
+        # axis is sharded (local (B, L, S/cp, kv_m) block inside
+        # shard_map).  Writes are the per-slot form of cp_masked_write
+        # (row-exact, straddle-safe: a speculative verify window may split
+        # across two shards); attention runs the batched flash kernel on
+        # the local rows with seq_base-global masks and merges partials
+        # across shards with the attention_cp online-softmax reduction —
+        # communication is O(B·heads) scalars, never O(S).
+        s_loc = k_c.shape[2]
+        assert t_q <= s_loc, (t_q, s_loc)
+        seq_base = jax.lax.axis_index(cfg.cp_axis) * s_loc
+        kh = cfg.n_kv_heads
+        tra = jnp.arange(t_q, dtype=jnp.int32)
+
+        def _upd_cp(i, kv):
+            kc, vc, ks, vs = kv
+            lp = pos[i] - seq_base
+            idx = jnp.clip(lp, 0, s_loc - t_q)
+            jj = idx + tra - lp       # source row for each local dest row
+            mask = (jj >= 0) & (jj < t_q)
+            jjc = jnp.clip(jj, 0, t_q - 1)
+
+            def row_pick(a3):         # (n_slots, t_q, W) -> (t_q, W)
+                return jnp.take(
+                    jax.lax.dynamic_slice_in_dim(a3, i, 1, 0)[0], jjc,
+                    axis=0)
+
+            kold = jax.lax.dynamic_slice(
+                kc, (i, layer_idx, idx, 0), (1, 1, t_q, kv_m))
+            vold = jax.lax.dynamic_slice(
+                vc, (i, layer_idx, idx, 0), (1, 1, t_q, kv_m))
+            kc = jax.lax.dynamic_update_slice(
+                kc, jnp.where(mask[:, None], row_pick(kd3),
+                              kold[0, 0])[None, None],
+                (i, layer_idx, idx, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, jnp.where(mask[:, None], row_pick(vd3),
+                              vold[0, 0])[None, None],
+                (i, layer_idx, idx, 0))
+            if quant_kv:
+                # scale planes (B, L, KH, S/cp); k_s3 is (n_slots, KH, t_q)
+                def s_pick(s3):
+                    return jnp.take(
+                        jax.lax.dynamic_slice_in_dim(s3, i, 1, 0)[0], jjc,
+                        axis=1)       # (KH, t_q)
+
+                sold_k = jax.lax.dynamic_slice(
+                    ks, (i, layer_idx, 0, idx), (1, 1, kh, t_q))
+                sold_v = jax.lax.dynamic_slice(
+                    vs, (i, layer_idx, 0, idx), (1, 1, kh, t_q))
+                ks = jax.lax.dynamic_update_slice(
+                    ks, jnp.where(mask[None, :], s_pick(k_s3),
+                                  sold_k[0, 0])[None, None],
+                    (i, layer_idx, 0, idx))
+                vs = jax.lax.dynamic_update_slice(
+                    vs, jnp.where(mask[None, :], s_pick(v_s3),
+                                  sold_v[0, 0])[None, None],
+                    (i, layer_idx, 0, idx))
+            return kc, vc, ks, vs
+
+        k_c, v_c, k_s, v_s = jax.lax.fori_loop(0, n_slots, _upd_cp,
+                                               (k_c, v_c, k_s, v_s))
+
+        from lmrs_tpu.kernels.flash_attention import flash_decode_batched
+
+        qf = q if t_q == 1 else q.reshape(n_slots, t_q, cfg.n_heads,
+                                          cfg.cache_head_dim)
+        acc, m, lden = flash_decode_batched(
+            qf, k_c, v_c, layer_idx, pos, n_kv=cfg.n_kv_heads,
+            attn_len=s_loc, scale=cfg.attn_scale,
+            softcap=cfg.attn_logit_softcap, window=cfg.sliding_window,
+            k_scale=k_s, v_scale=v_s, seq_base=seq_base, return_lse=True)
+        m_g = jax.lax.pmax(m, cfg.cp_axis)
+        w = jnp.exp(m - m_g)
+        num = jax.lax.psum(acc * w[..., None], cfg.cp_axis)
+        den = jax.lax.psum(lden * w, cfg.cp_axis)
+        att = num / den[..., None]
+        if t_q > 1:
+            att = att.reshape(b, cfg.n_heads, cfg.cache_head_dim)
+        if hd_pad:
+            att = att[..., : cfg.head_dim]
+        o = qmatmul(att.reshape(b, cfg.att_dim), _localize(lw.wo),
+                    cfg.matmul_impl, layer_idx=stacked_idx)
+        return _layer_batched_post(cfg, x, lw, o, stacked_idx,
+                                   k_c, v_c, k_s, v_s)
+
     def _upd(i, kv):
         kc, vc, ks, vs = kv
         kc = jax.lax.dynamic_update_slice(

@@ -358,23 +358,39 @@ def make_mesh_engine(f, tp: int = 1, cp: int = 1, devices=None,
     return Engine(f.cfg, params, mesh=mesh, param_spec=spec, **engine_kw)
 
 
-def make_mesh_scheduler(f, tp: int = 1, devices=None, **sched_kw):
-    """--batch with --tp: the continuous-batching scheduler over a Megatron
-    tensor-parallel mesh — B concurrent requests AND each step's matmuls
-    sharded across chips.  Same stacked fast-layout params as
-    make_mesh_engine; the scheduler wraps its batched programs in
-    shard_map internally (serve.scheduler.BatchScheduler mesh mode)."""
+def make_mesh_scheduler(f, tp: int = 1, cp: int = 1, devices=None,
+                        **sched_kw):
+    """--batch with --tp/--cp: the continuous-batching scheduler over a
+    Megatron tensor-parallel and/or context-parallel mesh — B concurrent
+    requests, each step's matmuls sharded on tp AND the batched KV cache's
+    sequence axis sharded on cp (aggregate context capacity scales with
+    cp; see serve.scheduler.BatchScheduler mesh mode).  Same stacked
+    fast-layout params as make_mesh_engine (cp-only meshes replicate)."""
     import jax
 
     from lmrs_tpu.serve.scheduler import BatchScheduler
 
     devices = list(devices if devices is not None else jax.devices())
-    if tp < 2:
-        raise ValueError("make_mesh_scheduler needs tp>1")
-    if len(devices) < tp:
-        raise ValueError(f"tp={tp} needs {tp} devices, have {len(devices)}")
-    mesh = Mesh(np.asarray(devices[:tp]), ("tp",))
-    params, spec = build_tp_params_stacked(f.cfg, f.tensors, mesh)
+    need = tp * cp
+    if need < 2:
+        raise ValueError("make_mesh_scheduler needs tp>1 or cp>1")
+    if len(devices) < need:
+        raise ValueError(f"tp={tp} x cp={cp} needs {need} devices, have "
+                         f"{len(devices)}")
+    if tp > 1 and cp > 1:
+        mesh = Mesh(np.asarray(devices[:need]).reshape(tp, cp),
+                    ("tp", "cp"))
+    elif tp > 1:
+        mesh = Mesh(np.asarray(devices[:tp]), ("tp",))
+    else:
+        mesh = Mesh(np.asarray(devices[:cp]), ("cp",))
+    if tp > 1:
+        params, spec = build_tp_params_stacked(f.cfg, f.tensors, mesh)
+    else:
+        from lmrs_tpu.io.params import params_from_lmrs
+
+        params = params_from_lmrs(f, stack_layers=True, fuse_qkv=True)
+        params, spec = replicate_params(params, mesh)
     return BatchScheduler(f.cfg, params, mesh=mesh, param_spec=spec,
                           **sched_kw)
 

@@ -114,14 +114,15 @@ class BackendServer:
             # causally dead, misaligned resumes fall back to single-token
             # steps) — parity-tested in tests/test_engine_mesh.py
             if batch > 0:
-                if cp > 1:
-                    raise ValueError("--batch with --cp is not supported "
-                                     "(the scheduler shards kv heads; use "
-                                     "a cp engine for beyond-chip context)")
+                # --batch --cp composes: the batched contiguous cache's
+                # sequence axis shards over cp (straddle-safe row-exact
+                # writes + cross-shard flash LSE merge, parity-tested in
+                # tests/test_scheduler_mesh.py)
                 from lmrs_tpu.parallel.tp import make_mesh_scheduler
 
                 self._mesh_scheduler = make_mesh_scheduler(
-                    self.file, tp=tp, max_batch=batch, max_ctx=max_ctx,
+                    self.file, tp=tp, cp=cp, max_batch=batch,
+                    max_ctx=max_ctx,
                     cache_dtype=CACHE_DTYPES[cache_dtype],
                     temperature=temperature, top_p=top_p,
                     seed=seed if seed is not None else 0,

@@ -149,27 +149,42 @@ class BatchScheduler:
         self.cfg = cfg
         self.params = params
         # mesh mode: continuous batching over a Megatron tensor-parallel
-        # mesh — every jitted program's body runs under shard_map with the
-        # LOCAL config (parallel.tp.local_config), kv heads sharded on the
-        # "tp" axis exactly like runtime.engine._make_mesh_fns; the batched
-        # cache just carries a leading (unsharded) slot axis.  cp is
-        # rejected: slot-ragged positions would straddle sequence shards.
+        # and/or context-parallel mesh — every jitted program's body runs
+        # under shard_map with the LOCAL config (parallel.tp.local_config),
+        # kv heads sharded on the "tp" axis exactly like
+        # runtime.engine._make_mesh_fns.  With a "cp" axis the contiguous
+        # cache's SEQUENCE axis is sharded too: per-slot writes are
+        # row-exact masked RMWs on the owning shard (straddle-safe, see
+        # models.transformer._layer_batched) and the batched flash kernel's
+        # per-shard partials merge with the attention_cp online-softmax
+        # reduction — aggregate context capacity scales with cp while the
+        # batch keeps decoding as one program.
         self.mesh = mesh
-        tp = 1
+        tp = cp = 1
         if mesh is not None:
             axes = dict(zip(mesh.axis_names, mesh.devices.shape))
             tp = axes.get("tp", 1)
-            if axes.get("cp", 1) > 1:
-                raise ValueError("the batched scheduler shards kv heads "
-                                 "(tp only); use a single-stream cp engine "
-                                 "for beyond-chip context")
+            cp = axes.get("cp", 1)
+            if cp > 1:
+                if self.paged:
+                    raise ValueError(
+                        "--pool-tokens with --cp is not supported: pages "
+                        "shard on kv-head lanes, not the sequence (use a "
+                        "contiguous batched cache with --cp)")
+                if cfg.matmul_impl != "fast" or cfg.cache_head_dim % 128:
+                    raise ValueError(
+                        "the batched cp path needs the fast kernel path "
+                        "and cache_head_dim % 128 == 0 (got "
+                        f"{cfg.matmul_impl}, {cfg.cache_head_dim})")
             if param_spec is None:
                 raise ValueError("mesh scheduler needs param_spec (from "
                                  "parallel.tp.build_tp_params_stacked)")
             from lmrs_tpu.parallel.tp import local_config
-            cfg_l = local_config(cfg, tp, "tp" if tp > 1 else None, None)
+            cfg_l = local_config(cfg, tp, "tp" if tp > 1 else None,
+                                 "cp" if cp > 1 else None, cp)
         else:
             cfg_l = cfg
+        self.cp = cp
         self._cfg_l = cfg_l
         self.B = max_batch
         self.S = min(max_ctx or cfg.seq_len, cfg.seq_len)
@@ -203,13 +218,16 @@ class BatchScheduler:
         # (contiguous per-head blocks — the lane split IS the head split),
         # scale planes (B, L, KH, S) with kv heads on tp
         tpa = "tp" if tp > 1 else None
+        cpa = "cp" if cp > 1 else None
         from jax.sharding import PartitionSpec as P
         # the SAME specs serve both layouts: contiguous (B, L, S, KH·hd)
         # and paged pool (L, P, psz, KH·hd) put merged head-lanes last
         # (the lane split IS the head split), and both scale layouts put
-        # KH on axis 2
-        val_p = P(None, None, None, tpa)
-        scl_p = (P(None, None, tpa, None)
+        # KH on axis 2.  With a cp axis the contiguous SEQUENCE axis
+        # shards too (values axis 2, sequence-last scale planes axis 3);
+        # cpa is always None for the paged pool (cp+paged rejected above).
+        val_p = P(None, None, cpa, tpa)
+        scl_p = (P(None, None, tpa, cpa)
                  if cache_dtype in (jnp.int8, "int4") else None)
         cache_pspec = KVCache(val_p, val_p, scl_p, scl_p)
 
@@ -251,6 +269,27 @@ class BatchScheduler:
             # list when its last holder releases it
             self._page_refs = np.zeros(n_pages, np.int32)
         else:
+            if cp > 1:
+                # sequence axis shards into cp contiguous blocks: each
+                # shard's LOCAL row count s_loc must be flash-plannable
+                # (s_loc % min(512, s_loc) == 0 — the batched cp branch
+                # always runs the flash kernel over the full local block)
+                # and at least as big as the largest single write window
+                # (prefill chunks / speculative verify windows are
+                # row-exact straddle-safe, but each requires T <= s_loc)
+                s_loc = -(-(self.S + self._slack) // cp)
+                if s_loc > 512:
+                    s_loc = -(-s_loc // 512) * 512
+                else:
+                    s_loc = 1 << (s_loc - 1).bit_length()
+                win = max(prefill_chunk,
+                          decode_chunk * (speculative_k + 1))
+                if s_loc < win:
+                    raise ValueError(
+                        f"cp={cp} leaves {s_loc} local cache rows per "
+                        f"shard < the largest write window {win}; lower "
+                        "--cp / prefill_chunk or raise max_ctx")
+                self._slack = s_loc * cp - self.S
             shape = (self.B, cfg.n_layers, self.S + self._slack, kv_m)
             ks = vs = None
             if cache_dtype == jnp.int8:
@@ -318,7 +357,12 @@ class BatchScheduler:
                     drow = jax.lax.dynamic_slice_in_dim(a, dst, 1, 0)[0]
                     shp = [1, 1, 1]
                     shp[seq_axis] = srow.shape[seq_axis]
-                    mask = (jnp.arange(srow.shape[seq_axis])
+                    # cp: this shard holds GLOBAL rows [r*s_loc, (r+1)*s_loc)
+                    # — the n_rows cutoff compares global indices
+                    # (self.cp, not the local `cp` closure this shadows)
+                    off = (jax.lax.axis_index("cp")
+                           * srow.shape[seq_axis] if self.cp > 1 else 0)
+                    mask = (off + jnp.arange(srow.shape[seq_axis])
                             < n_rows).reshape(shp)
                     return jax.lax.dynamic_update_slice_in_dim(
                         a, jnp.where(mask, srow, drow)[None], dst, 0)
@@ -751,6 +795,12 @@ class BatchScheduler:
 
     # ------------------------------------------------------------------
     def _bucket(self, needed: int) -> int:
+        if self.cp > 1:
+            # the cp branches attend over the full local shard regardless
+            # of attn_len (models.transformer cp paths ignore the bucket)
+            # — pin one bucket so jit compiles exactly one program per
+            # chunk shape instead of one per rung
+            return self.S
         b = self.min_attn_bucket
         while b < needed and b < self.S:
             b *= 2

@@ -199,3 +199,57 @@ def test_flash_batched_matches_per_slot(softcap, window):
                         softcap=softcap, window=window, precision="fast")
         np.testing.assert_allclose(np.asarray(out[b]), np.asarray(ref[0]),
                                    rtol=0, atol=2e-2)
+
+
+@pytest.mark.parametrize("t_q", [1, 4])
+@pytest.mark.parametrize("softcap,window", [(None, None), (50.0, 96)])
+def test_flash_batched_cp_merge_matches_unsharded(t_q, softcap, window):
+    """seq_base + return_lse: the batched kernel run per sequence shard of
+    a cp mesh, merged with the online-softmax cross-shard reduction
+    (m_g=pmax(m); w=exp(m-m_g); psum(acc*w)/psum(l*w)), must match the
+    SAME kernel run unsharded — including slots whose live rows sit
+    entirely on one shard (the other shard's w underflows to exactly 0)
+    and positions/verify-windows that straddle the shard boundary."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    B, L, S, KH, G, HD = 3, 2, 256, 2, 2, 128
+    H = KH * G
+    rng = np.random.default_rng(9)
+    qs = (B, H, HD) if t_q == 1 else (B, t_q, H, HD)
+    q = jnp.asarray(rng.standard_normal(qs, dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((B, L, S, KH * HD),
+                                        dtype=np.float32)).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, L, S, KH * HD),
+                                        dtype=np.float32)).astype(jnp.bfloat16)
+    # slot 0: shard-0-only; slot 1: straddles row 128; slot 2: deep
+    pos = jnp.asarray([5, 127, 250 - t_q], jnp.int32)
+    scale = 1.0 / np.sqrt(HD)
+    layer = jnp.int32(1)
+
+    want = flash_decode_batched(q, k, v, layer, pos, n_kv=KH, attn_len=S,
+                                scale=scale, softcap=softcap, window=window,
+                                s_blk=64, interpret=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("cp",))
+
+    def body(q, k, v, pos):
+        s_loc = k.shape[2]
+        base = jax.lax.axis_index("cp") * s_loc
+        acc, m, l = flash_decode_batched(
+            q, k, v, layer, pos, n_kv=KH, attn_len=s_loc, scale=scale,
+            softcap=softcap, window=window, s_blk=64, interpret=True,
+            seq_base=base, return_lse=True)
+        m_g = jax.lax.pmax(m, "cp")
+        w = jnp.exp(m - m_g)
+        num = jax.lax.psum(acc * w[..., None], "cp")
+        den = jax.lax.psum(l * w, "cp")
+        return num / den[..., None]
+
+    seq_p = P(None, None, "cp", None)
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), seq_p, seq_p, P()),
+        out_specs=P(), check_vma=False))(q, k, v, pos)
+    # 2e-3: f32 reduction-order noise only (blocks merged per shard, then
+    # across shards, vs one sequential pass) — a masking bug would be O(1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-3)

@@ -174,15 +174,134 @@ def test_mesh_scheduler_prefix_cache():
     assert sched.prefix_tokens_saved == len(shared)
 
 
-def test_mesh_scheduler_rejects_cp():
-    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, **KW)
-    weights = random_weights(cfg, seed=7)
+# ---------------------------------------------------------------------------
+# --batch --cp: the batched contiguous cache's SEQUENCE axis sharded over a
+# cp mesh axis — straddle-safe row-exact per-slot writes + the batched flash
+# kernel's cross-shard online-softmax (LSE) merge.  Needs a flash-capable
+# config (fast impl, 128-lane head dim); max_ctx=96 over cp=2 puts the shard
+# boundary at row 64, so the long prompt's decode CROSSES it.
+# ---------------------------------------------------------------------------
+CP_KW = dict(dim=128, hidden_dim=256, n_layers=2, n_heads=2, head_dim=128,
+             n_kv_heads=2, vocab_size=256, seq_len=256, group_size=32,
+             matmul_impl="fast")
+CP_PROMPTS = [list(np.random.default_rng(3).integers(3, 250, size=70)),
+              [2, 4], [7, 3, 11, 13]]
+CP_SCHED = dict(max_batch=4, max_ctx=96, prefill_chunk=8, decode_chunk=4,
+                min_attn_bucket=32, temperature=0.0)
+
+
+def _cp_sched(cfg, weights, tp=1, cp=2, **kw):
+    from jax.sharding import PartitionSpec as P
+
+    if tp > 1:
+        shape = (tp, cp) if cp > 1 else (tp,)
+        names = ("tp", "cp") if cp > 1 else ("tp",)
+        mesh = Mesh(np.asarray(jax.devices()[:tp * cp]).reshape(*shape),
+                    names)
+        params, spec = build_tp_params_stacked(
+            cfg, _quantized_tensors(cfg, weights), mesh)
+    else:
+        mesh = Mesh(np.asarray(jax.devices()[:cp]), ("cp",))
+        params = params_from_weights(cfg, weights, stack_layers=True,
+                                     fuse_qkv=True)
+        spec = jax.tree.map(lambda a: P(), params)
+    return BatchScheduler(cfg, params, mesh=mesh, param_spec=spec,
+                          cache_dtype=kw.pop("cache_dtype", jnp.float32),
+                          **{**CP_SCHED, **kw})
+
+
+def _cp_want(cfg, weights, **kw):
+    params = params_from_weights(cfg, weights, stack_layers=True,
+                                 fuse_qkv=True)
+    return _run(BatchScheduler(
+        cfg, params, cache_dtype=kw.pop("cache_dtype", jnp.float32),
+        **{**CP_SCHED, **kw}), CP_PROMPTS)
+
+
+@pytest.mark.parametrize("tp,cp", [(1, 2), (2, 2)])
+def test_cp_scheduler_token_parity(tp, cp):
+    """Batched decode across a cp-sharded cache — including a slot whose
+    context straddles the shard boundary — token-exact vs single-device."""
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, **CP_KW)
+    weights = random_weights(cfg, seed=11)
+    want = _cp_want(cfg, weights)
+    got = _run(_cp_sched(cfg, weights, tp=tp, cp=cp), CP_PROMPTS)
+    assert got == want, (got, want)
+
+
+def test_cp_scheduler_gemma_window():
+    """Gemma deltas (softcap + a sliding window SMALLER than the context)
+    through the cp-batched path: the flash start-block skip computes
+    shard-local block indices from global window rows, and shards wholly
+    behind the window contribute w=0 in the LSE merge."""
+    cfg = tiny_config(ModelType.GEMMA, QuantType.Q8_0, sliding_window=48,
+                      **CP_KW)
+    weights = random_weights(cfg, seed=11)
+    want = _cp_want(cfg, weights)
+    got = _run(_cp_sched(cfg, weights), CP_PROMPTS)
+    assert got == want, (got, want)
+
+
+def test_cp_scheduler_int8_cache():
+    """int8 KV on the cp mesh: sequence-last scale planes shard on cp."""
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, **CP_KW)
+    weights = random_weights(cfg, seed=11)
+    want = _cp_want(cfg, weights, cache_dtype=jnp.int8)
+    got = _run(_cp_sched(cfg, weights, cache_dtype=jnp.int8), CP_PROMPTS)
+    assert got == want, (got, want)
+
+
+def test_cp_scheduler_speculative():
+    """Batched prompt-lookup speculation over cp: multi-token verify
+    windows straddle the shard boundary (row-exact split writes)."""
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, **CP_KW)
+    weights = random_weights(cfg, seed=11)
+    want = _cp_want(cfg, weights)
+    got = _run(_cp_sched(cfg, weights, speculative_k=3), CP_PROMPTS)
+    assert got == want, (got, want)
+
+
+def test_cp_scheduler_prefix_cache():
+    """The admission prefix-cache row copy masks on GLOBAL row indices
+    under cp (each shard owns rows [r*s_loc, (r+1)*s_loc))."""
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, **CP_KW)
+    weights = random_weights(cfg, seed=11)
+    shared = list(np.random.default_rng(5).integers(3, 250, size=16))
+    p_a = shared + [3, 9]
+    p_b = shared + [11, 4]
+
+    def run(sched):
+        done = {}
+        lease = sched.new_conversation()
+        sched.submit(p_a, max_new_tokens=6, lease=lease,
+                     on_done=lambda o: done.setdefault("a", o))
+        sched.run()
+        sched.submit(p_b, max_new_tokens=8,
+                     on_done=lambda o: done.setdefault("b", o))
+        sched.run()
+        return done
+
+    params = params_from_weights(cfg, weights, stack_layers=True,
+                                 fuse_qkv=True)
+    want = run(BatchScheduler(cfg, params, cache_dtype=jnp.float32,
+                              prefix_cache_min=8, **CP_SCHED))
+    sched = _cp_sched(cfg, weights, prefix_cache_min=8)
+    got = run(sched)
+    assert got == want, (got, want)
+    assert sched.prefix_hits == 1
+    assert sched.prefix_tokens_saved == len(shared)
+
+
+def test_cp_scheduler_rejects_paged():
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, **CP_KW)
+    weights = random_weights(cfg, seed=11)
     params = params_from_weights(cfg, weights, stack_layers=True,
                                  fuse_qkv=True)
     mesh = Mesh(np.asarray(jax.devices()[:2]), ("cp",))
-    with pytest.raises(ValueError, match="tp only"):
-        BatchScheduler(cfg, params, mesh=mesh, param_spec=jax.tree.map(
-            lambda a: None, params))
+    with pytest.raises(ValueError, match="pool-tokens"):
+        BatchScheduler(cfg, params, mesh=mesh,
+                       param_spec=jax.tree.map(lambda a: None, params),
+                       pool_tokens=256, **CP_SCHED)
 
 
 def test_mesh_scheduler_prefill_embeds():
