@@ -278,6 +278,12 @@ def cp_masked_write(cache_arr: jax.Array, rows: jax.Array, layer_idx,
     write row j = idx + m - lp, valid iff 0 <= j < T.  Requires
     T <= s_loc (the engine's chunk/spec sizing guarantees it)."""
     t = rows.shape[0]
+    if t > s_loc:
+        raise ValueError(
+            f"cp write window T={t} exceeds local shard rows s_loc="
+            f"{s_loc}; the clip anchor would go negative and corrupt "
+            "cache rows — shrink the (padded) prefill/spec chunk or "
+            "lower cp")
     r = jax.lax.axis_index(axis)
     lp = pos - r * s_loc
     idx = jnp.clip(lp, 0, s_loc - t)
@@ -299,6 +305,9 @@ def cp_masked_write_scales(s_arr: jax.Array, srows: jax.Array, layer_idx,
     write lands at sequence offset `pos` of the owning shard.  Row-exact
     like cp_masked_write — straddling windows split across shards."""
     t = srows.shape[0]
+    if t > s_loc:
+        raise ValueError(
+            f"cp write window T={t} exceeds local shard rows s_loc={s_loc}")
     r = jax.lax.axis_index(axis)
     lp = pos - r * s_loc
     idx = jnp.clip(lp, 0, s_loc - t)

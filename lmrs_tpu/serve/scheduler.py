@@ -282,7 +282,12 @@ class BatchScheduler:
                     s_loc = -(-s_loc // 512) * 512
                 else:
                     s_loc = 1 << (s_loc - 1).bit_length()
-                win = max(prefill_chunk,
+                # _do_prefill pads each chunk to the next power of two
+                # (see pad_max above), so guard on the PADDED window —
+                # a raw prefill_chunk guard would admit e.g. chunk=1200
+                # into s_loc=1536 and let the padded 2048-row window
+                # clip negative in cp_masked_write
+                win = max(8, 1 << (prefill_chunk - 1).bit_length(),
                           decode_chunk * (speculative_k + 1))
                 if s_loc < win:
                     raise ValueError(

@@ -253,3 +253,62 @@ def test_flash_batched_cp_merge_matches_unsharded(t_q, softcap, window):
     # across shards, vs one sequential pass) — a masking bug would be O(1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=2e-3)
+
+
+@pytest.mark.parametrize("t_q", [1, 4])
+def test_flash_batched_cp_window_block_skip(t_q):
+    """cp + sliding window where the start-block SKIP actually triggers
+    (n_blk=3 < n_total=4 per shard): with s_loc=256, s_blk=64, window=96
+    the kernel's `start = clip((first_row - base)//s_blk, 0, n_total-n_blk)`
+    is nonzero on some shard for deep slots.  Slots cover: window entirely
+    on shard 0 (slot 0), window straddling the shard boundary (slot 1 —
+    shard 0 skips blocks yet keeps live rows, shard 1 starts at block 0),
+    shard 0 fully behind the window (slot 2 — its contribution must
+    underflow to exactly 0 in the merge), and a deep slot with a mid-shard
+    window start on shard 1 (slot 3)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    B, L, S, KH, G, HD = 4, 2, 512, 2, 2, 128
+    H = KH * G
+    window = 96
+    rng = np.random.default_rng(17)
+    qs = (B, H, HD) if t_q == 1 else (B, t_q, H, HD)
+    q = jnp.asarray(rng.standard_normal(qs, dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((B, L, S, KH * HD),
+                                        dtype=np.float32)).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, L, S, KH * HD),
+                                        dtype=np.float32)).astype(jnp.bfloat16)
+    pos = jnp.asarray([80, 280, 420, 508 - t_q], jnp.int32)
+    scale = 1.0 / np.sqrt(HD)
+    layer = jnp.int32(1)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("cp",))
+
+    def body(q, k, v, pos):
+        s_loc = k.shape[2]
+        base = jax.lax.axis_index("cp") * s_loc
+        acc, m, l = flash_decode_batched(
+            q, k, v, layer, pos, n_kv=KH, attn_len=s_loc, scale=scale,
+            softcap=50.0, window=window, s_blk=64, interpret=True,
+            seq_base=base, return_lse=True)
+        m_g = jax.lax.pmax(m, "cp")
+        w = jnp.exp(m - m_g)
+        num = jax.lax.psum(acc * w[..., None], "cp")
+        den = jax.lax.psum(l * w, "cp")
+        return num / den[..., None]
+
+    seq_p = P(None, None, "cp", None)
+    got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), seq_p, seq_p, P()),
+        out_specs=P(), check_vma=False))(q, k, v, pos)
+
+    # independent reference: the XLA attention formulation per slot
+    k4 = k.reshape(B, L, S, KH, HD)
+    v4 = v.reshape(B, L, S, KH, HD)
+    for b in range(B):
+        qb = q[b][None] if t_q == 1 else q[b]
+        ref = attention(qb, k4[b, 1], v4[b, 1], pos[b], scale=scale,
+                        softcap=50.0, window=window, precision="fast")
+        refb = ref[0] if t_q == 1 else ref
+        np.testing.assert_allclose(np.asarray(got[b]), np.asarray(refb),
+                                   rtol=0, atol=2e-2)
