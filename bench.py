@@ -116,6 +116,14 @@ def main():
     decode_chunk = int(os.environ.get("LMRS_BENCH_CHUNK", "32"))
     from lmrs_tpu.runtime.engine import CACHE_DTYPES
     cache_dtype = CACHE_DTYPES[os.environ.get("LMRS_BENCH_KV", "bfloat16")]
+    # K-major decode layout (round 5): the T=1 VPU matvec kernels stream
+    # quantized weights at ~2x the MXU xe kernels' value rate (1083 vs 554
+    # G values/s measured, kernels/vpu_matvec.py).  LMRS_KMAJOR=0 restores
+    # the row-major xe path.
+    kmajor = (impl == "fast" and quant != QuantType.NONE
+              and tp == 1 and cp == 1 and batch == 0
+              and layout == "scan" and not fuse_ffn and not q4_int8
+              and os.environ.get("LMRS_KMAJOR", "1") == "1")
     params = None
     pre_th = None
     if tp == 1 and cp == 1:
@@ -130,14 +138,19 @@ def main():
             pre_th = precompile_single_stream(
                 f.cfg, cache_dtype, n_prompt, n_tokens,
                 decode_chunk=decode_chunk, temperature=0.0, top_p=0.9,
-                log=log)
+                log=log, kmajor=kmajor)
         # multi-chip runs assemble SHARDED params inside make_mesh_engine;
         # loading a replicated copy first would double the model-load work
         params = params_from_lmrs(f, stack_layers=(layout != "unrolled"),
                                   fuse_qkv=(layout in ("unrolled", "scan")),
                                   fuse_ffn=fuse_ffn, q4_as_int8=q4_int8)
+        if kmajor:
+            from lmrs_tpu.kernels.vpu_matvec import kmajor_params
+
+            params = kmajor_params(params)
         jax.block_until_ready(jax.tree_util.tree_leaves(params))
-        log(f"load+transfer: {time.time() - t0:.1f}s")
+        log(f"load+transfer: {time.time() - t0:.1f}s"
+            + " (K-major decode layout)" * kmajor)
     if batch > 0:
         return bench_batched(f, params, config_name, quant_name, batch,
                              n_tokens, n_prompt, tp=tp, cp=cp)

@@ -1,0 +1,428 @@
+"""K-major quantized matmul kernels — the round-5 decode roofline attack.
+
+The round-4 x-expansion kernels route weights through the MXU, which at
+T=1 is weight-LOAD-bound (the systolic array loads a 128x128 tile in ~128
+cycles and uses it for ~1): measured ceiling ~554 G values/s on gemma-9b
+shapes, only ~277 GB/s of packed-Q4 HBM traffic on a chip that streams
+~730 GB/s.  These kernels dequantize and accumulate on the VPU instead —
+
+    y[o] = sum_g s[o,g] * sum_{k in g} w[k,o] * x[k]
+
+as elementwise fma + sublane reductions, never touching the MXU.  On-chip
+(results_r5/vpu_probe.log, medians of 3): packed-Q4 1083 G values/s
+(120 tok/s gemma-9b ceiling, VPU-compute-bound at ~3.5 ops/value), int8
+797 G values/s (HBM-bound).  Replaces the reference's SIMD matmul hot
+loops (reference: src/functional.rs:173-250) on the single-stream path.
+
+The price is a K-MAJOR weight layout: per output tile, K runs along
+sublanes so the per-group reduction is a sublane reduce and each grid
+block is one CONTIGUOUS HBM read:
+
+    q: (L, n_o, Kb, O_T)   Kb = K (int8) or K/2 (packed nibble bytes)
+    s: (L, n_o, G,  O_T)   f32 group scales
+
+(L=1 for non-layer-stacked tensors — the classifier/embedding.)  Since
+holding both layouts would double weight HBM, the module also provides
+K-major variants of the T>1 paths so an engine can hold ONLY this layout:
+
+* T==1          VPU matvec (the new hot path)
+* 2 <= T <= 8   x-expansion on the MXU (transposed dimension numbers;
+                weight-load-bound either way at these T)
+* 9 <= T <= 512 s@E scale-expansion prefill kernels
+* T > 512       dense XLA dot on dequantized weights (vision-sized only)
+
+The embedding table doubles as the tied classifier; a K-major row gather
+lives in models.transformer.embed_tokens (row v = q[0, v // O_T, :,
+v % O_T] — bytes along Kb are exactly the runtime packed row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lmrs_tpu.kernels.dequant_matmul import (_build_xe, _cached_partial,
+                                             _expansion_matrix, _fold_matrix,
+                                             _pick_o_tile)
+from lmrs_tpu.quant import QTensor, QuantType, quantize_q8_act
+
+_VM_OTILE = int(os.environ.get("LMRS_VM_OTILE", "512"))
+
+
+def kmajor_o_tile(out_features: int, o_tile: Optional[int] = None) -> int:
+    """The output-tile width to_kmajor uses for a given O — shared with
+    runtime.precompile so AOT shape trees match the runtime layout."""
+    return _pick_o_tile(out_features, o_tile or _VM_OTILE)
+
+
+# ---------------------------------------------------------------- repack
+
+@functools.partial(jax.jit, static_argnames=("o_t",), donate_argnums=(0,))
+def _repack_donate(a: jax.Array, o_t: int) -> jax.Array:
+    L, O, last = a.shape
+    return a.reshape(L, O // o_t, o_t, last).transpose(0, 1, 3, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("o_t",))
+def _repack(a: jax.Array, o_t: int) -> jax.Array:
+    L, O, last = a.shape
+    return a.reshape(L, O // o_t, o_t, last).transpose(0, 1, 3, 2)
+
+
+def to_kmajor(qt: QTensor, o_tile: Optional[int] = None,
+              donate: bool = False) -> QTensor:
+    """Repack a row-major QTensor (stacked (L, O, Kb) or flat (O, Kb)) into
+    the K-major tiled layout.  `donate` frees the row-major buffers (use
+    when the caller replaces its params wholesale); the repack itself is a
+    device-side transpose (one transient copy of the tensor)."""
+    if qt.qtype == QuantType.NONE:
+        raise ValueError("K-major layout is for quantized tensors")
+    if getattr(qt, "kmajor", False):
+        return qt
+    q, s = qt.q, qt.s
+    if q.ndim == 2:
+        q, s = q[None], s[None]
+    assert q.ndim == 3, q.shape
+    o_t = kmajor_o_tile(qt.out_features, o_tile)
+    rp = _repack_donate if donate else _repack
+    return QTensor(rp(q, o_t), rp(s, o_t), qt.qtype, qt.group_size,
+                   qt.out_features, qt.in_features, kmajor=True)
+
+
+def kmajor_to_dense(qt: QTensor) -> jax.Array:
+    """Dequantize a K-major QTensor back to float (L, O, K) — tests and
+    the T>512 fallback."""
+    from lmrs_tpu.quant import unpack_q4
+
+    L, n_o, kb, o_t = qt.q.shape
+    q2 = qt.q.transpose(0, 1, 3, 2).reshape(L, qt.out_features, kb)
+    s2 = qt.s.transpose(0, 1, 3, 2).reshape(L, qt.out_features, -1)
+    if qt.qtype == QuantType.Q4_0:
+        vals = unpack_q4(q2, qt.group_size).astype(jnp.float32)
+    else:
+        vals = q2.astype(jnp.float32)
+    gs = qt.group_size
+    g = vals.reshape(L, qt.out_features, qt.in_features // gs, gs)
+    return (g * s2[..., None]).reshape(L, qt.out_features, qt.in_features)
+
+
+def kmajor_params(params, o_tile: Optional[int] = None, donate: bool = True):
+    """Convert a scan-fast TransformerParams (stacked + fused, quantized)
+    to the K-major decode layout.  Leaves non-quantized tensors (norms,
+    rope tables) untouched; row-major buffers are donated by default."""
+    layers = params.layers
+    if isinstance(layers, (list, tuple)) or layers.wqkv is None:
+        raise ValueError("K-major layout needs the stacked fused "
+                         "(scan-fast) param layout")
+    if layers.wqkv.qtype == QuantType.NONE:
+        return params
+
+    def cv(qt):
+        return None if qt is None else to_kmajor(qt, o_tile, donate=donate)
+
+    new_layers = dataclasses.replace(
+        layers, wqkv=cv(layers.wqkv), wo=cv(layers.wo),
+        w13=cv(layers.w13), w2=cv(layers.w2))
+    return dataclasses.replace(
+        params, layers=new_layers, embed=cv(params.embed),
+        lm_head=cv(params.lm_head))
+
+
+# ---------------------------------------------------------------- kernels
+
+def _vm_q8_kernel(l_ref, xg_ref, w_ref, s_ref, o_ref, *, gs: int):
+    """T=1 int8 VPU matvec: y[1, O_T] = sum_g s[g, :] * sum_k w[k, :]*x[k].
+
+    xg_ref is (gs, G) — column g holds group g's activations, so the
+    per-group factor is a narrow lane window broadcast along lanes and the
+    reduction runs down sublanes.  ~3 VPU ops/value (convert, mul, fma):
+    HBM-bound at int8's 1 byte/value (797 G values/s measured)."""
+    kb = w_ref.shape[2]
+    n_g = kb // gs
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    for g in range(n_g):
+        wg = w_ref[0, 0, g * gs:(g + 1) * gs, :].astype(jnp.float32)
+        part = jnp.sum(wg * xg_ref[:, g:g + 1], axis=0, keepdims=True)
+        acc = acc + s_ref[0, 0, g:g + 1, :] * part
+    o_ref[:] = acc
+
+
+def _vm_q4_kernel(l_ref, xl_ref, xh_ref, corr_ref, w_ref, s_ref,
+                  o_ref, *, gs: int):
+    """T=1 packed-Q4 VPU matvec on XOR-0x80 biased bytes (quant.unpack_q4):
+    the int8 view of a stored byte reads exactly u-128, so with
+    u = 16*hi + lo:  h0 = floor(vf/16) = hi-8,  lo = vf-16*h0 in [0,15],
+    and (lo-8)*xl + (hi-8)*xh = lo*xl + h0*xh - 8*sum(xl)  — the last term
+    is weight-independent per group (corr).  ~3.5 VPU ops/value:
+    VPU-compute-bound at 1083 G values/s measured (0.5 byte/value leaves
+    HBM half idle — the ceiling is the VPU's ~3.85 T ops/s)."""
+    half = gs // 2
+    kb = w_ref.shape[2]
+    n_g = (2 * kb) // gs
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    vfull = pltpu.bitcast(w_ref[0, 0], jnp.int8)
+    for g in range(n_g):
+        vf = vfull[g * half:(g + 1) * half, :].astype(jnp.float32)
+        h0 = jnp.floor(vf * 0.0625)
+        lo = vf - 16.0 * h0
+        part = jnp.sum(lo * xl_ref[:, g:g + 1] + h0 * xh_ref[:, g:g + 1],
+                       axis=0, keepdims=True)
+        acc = acc + s_ref[0, 0, g:g + 1, :] * (part + corr_ref[0, g])
+    o_ref[:] = acc
+
+
+def _xe_i8_km_kernel(l_ref, xe_ref, xs_ref, w_ref, s_ref, mt_ref, o_ref, *,
+                     t: int):
+    """W8A8 x-expansion on K-major weights (2<=T<=8 — speculative verify
+    windows).  Same integer-dot-then-scale formula as the row-major
+    _q8_xei8_stacked_kernel (kernels/dequant_matmul.py), with transposed
+    dimension numbers: p[(t,g), o] = one int8 MXU pass."""
+    p = jax.lax.dot_general(
+        xe_ref[:], w_ref[0, 0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                 # (T·G, O_T)
+    s = s_ref[0, 0]                                       # (G, O_T)
+    s_rep = s if t == 1 else jnp.concatenate([s] * t, axis=0)
+    pf = p.astype(jnp.float32) * s_rep * xs_ref[:]        # xs (T·G, 1)
+    o_ref[:] = jax.lax.dot_general(
+        mt_ref[:], pf, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (T_pad, O_T)
+
+
+def _xe_q4_km_kernel(l_ref, xel_ref, xeh_ref, corr_ref, w_ref, s_ref,
+                     mt_ref, o_ref, *, t: int):
+    """Packed-Q4 x-expansion on K-major weights (2<=T<=8): the biased-byte
+    nibble split of _vm_q4_kernel_impl, two f32 MXU dots against the
+    half-group expanded activations (the dots' N = T·G is tiny)."""
+    vf = pltpu.bitcast(w_ref[0, 0], jnp.int8).astype(jnp.float32)
+    h0 = jnp.floor(vf * 0.0625)
+    lo = vf - 16.0 * h0
+    p = (jax.lax.dot_general(
+            xel_ref[:], lo, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(
+            xeh_ref[:], h0, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))          # (T·G, O_T)
+    p = p + corr_ref[:]                                   # corr (T·G, 1)
+    s = s_ref[0, 0]
+    s_rep = s if t == 1 else jnp.concatenate([s] * t, axis=0)
+    o_ref[:] = jax.lax.dot_general(
+        mt_ref[:], p * s_rep, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _se_q8_km_kernel(l_ref, x_ref, w_ref, s_ref, et_ref, o_ref):
+    """s@E prefill kernel on K-major weights (8<T<=512): per-group scales
+    broadcast to per-element via a constant 0/1 matmul, one dequant
+    multiply, one (T_pad, K)x(K, O_T) MXU dot."""
+    s_rep = jnp.dot(et_ref[:], s_ref[0, 0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    w_bf = w_ref[0, 0].astype(jnp.bfloat16) * s_rep       # (K, O_T)
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:], w_bf, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (T_pad, O_T)
+
+
+def _se_q4_km_kernel(l_ref, xlo_ref, xhi_ref, w_ref, s_ref, eth_ref, o_ref):
+    s_rep = jnp.dot(eth_ref[:], s_ref[0, 0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    vf = pltpu.bitcast(w_ref[0, 0], jnp.int8).astype(jnp.float32)
+    h0 = jnp.floor(vf * 0.0625)
+    lo = ((vf - 16.0 * h0) - 8.0).astype(jnp.bfloat16) * s_rep
+    hi = h0.astype(jnp.bfloat16) * s_rep                  # (Kb, O_T)
+    o_ref[:] = (
+        jax.lax.dot_general(xlo_ref[:], lo,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(xhi_ref[:], hi,
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32))
+
+
+# ---------------------------------------------------------------- dispatch
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i, l: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _w_spec(shape):
+    return pl.BlockSpec((1, 1) + shape[2:],
+                        lambda i, l: (l[0], i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
+                   interpret: Optional[bool] = None) -> jax.Array:
+    """y = x @ W[layer]^T for K-major tiled quantized weights."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    assert n == w.in_features, (x.shape, w.logical_shape)
+    L, n_o, kb, o_t = w.q.shape
+    o = w.out_features
+    gs = w.group_size
+    g_tot = n // gs
+    x2 = x.reshape(-1, n)
+    t = x2.shape[0]
+    l_arr = jnp.asarray([layer_idx], jnp.int32)
+    q4 = w.qtype == QuantType.Q4_0
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    if t == 1:
+        xg = x2.reshape(g_tot, gs).T.astype(jnp.float32)   # (gs, G)
+        if q4:
+            half = gs // 2
+            xl = xg[:half]                                 # (half, G)
+            xh = xg[half:]
+            corr = (-8.0 * jnp.sum(xl, axis=0)).reshape(1, g_tot)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(n_o,),
+                in_specs=[_const_spec((half, g_tot)),
+                          _const_spec((half, g_tot)),
+                          _const_spec((1, g_tot)),
+                          _w_spec(w.q.shape),
+                          _w_spec(w.s.shape)],
+                out_specs=pl.BlockSpec((1, o_t), lambda i, l: (0, i),
+                                       memory_space=pltpu.VMEM))
+            out = pl.pallas_call(
+                _cached_partial(_vm_q4_kernel, gs=gs),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((1, o), jnp.float32),
+                compiler_params=vmem, interpret=interpret,
+            )(l_arr, xl, xh, corr, w.q, w.s)
+        else:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(n_o,),
+                in_specs=[_const_spec((gs, g_tot)),
+                          _w_spec(w.q.shape),
+                          _w_spec(w.s.shape)],
+                out_specs=pl.BlockSpec((1, o_t), lambda i, l: (0, i),
+                                       memory_space=pltpu.VMEM))
+            out = pl.pallas_call(
+                _cached_partial(_vm_q8_kernel, gs=gs),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((1, o), jnp.float32),
+                compiler_params=vmem, interpret=interpret,
+            )(l_arr, xg, w.q, w.s)
+        return out.reshape(*lead, o)
+
+    if t <= 8:
+        t_pad = 8
+        mt = jnp.asarray(_fold_matrix(t, g_tot, t_pad).T.copy())
+        if q4:
+            half = gs // 2
+            xg = x2.astype(jnp.bfloat16).reshape(t, g_tot, gs)
+            x_l = xg[:, :, :half]
+            x_h = xg[:, :, half:]
+            corr = (-8.0 * jnp.sum(x_l.astype(jnp.float32), axis=2)
+                    ).reshape(t * g_tot, 1)
+            xel = _build_xe(x_l.reshape(t, n // 2), 1, n // 2, half)[0]
+            xeh = _build_xe(x_h.reshape(t, n // 2), 1, n // 2, half)[0]
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(n_o,),
+                in_specs=[_const_spec((n // 2, t * g_tot)),
+                          _const_spec((n // 2, t * g_tot)),
+                          _const_spec((t * g_tot, 1)),
+                          _w_spec(w.q.shape),
+                          _w_spec(w.s.shape),
+                          _const_spec((t_pad, t * g_tot))],
+                out_specs=pl.BlockSpec((t_pad, o_t), lambda i, l: (0, i),
+                                       memory_space=pltpu.VMEM))
+            out = pl.pallas_call(
+                _cached_partial(_xe_q4_km_kernel, t=t),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((t_pad, o), jnp.float32),
+                compiler_params=vmem, interpret=interpret,
+            )(l_arr, xel.astype(jnp.float32), xeh.astype(jnp.float32),
+              corr, w.q, w.s, mt)
+        else:
+            xq, xs = quantize_q8_act(x2, gs)
+            xe = _build_xe(xq.astype(jnp.float32), 1, n, gs)[0] \
+                .astype(jnp.int8)                          # (K, T·G)
+            xs_col = xs.reshape(t * g_tot, 1)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(n_o,),
+                in_specs=[_const_spec((n, t * g_tot)),
+                          _const_spec((t * g_tot, 1)),
+                          _w_spec(w.q.shape),
+                          _w_spec(w.s.shape),
+                          _const_spec((t_pad, t * g_tot))],
+                out_specs=pl.BlockSpec((t_pad, o_t), lambda i, l: (0, i),
+                                       memory_space=pltpu.VMEM))
+            out = pl.pallas_call(
+                _cached_partial(_xe_i8_km_kernel, t=t),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((t_pad, o), jnp.float32),
+                compiler_params=vmem, interpret=interpret,
+            )(l_arr, xe, xs_col, w.q, w.s, mt)
+        return out[:t].reshape(*lead, o)
+
+    if t <= 512:
+        t_pad = max(8, 1 << (t - 1).bit_length())
+        x2b = x2.astype(jnp.bfloat16)
+        if t_pad != t:
+            x2b = jnp.pad(x2b, ((0, t_pad - t), (0, 0)))
+        if q4:
+            half = gs // 2
+            xg = x2b.reshape(t_pad, g_tot, gs)
+            x_lo = xg[:, :, :half].reshape(t_pad, n // 2)
+            x_hi = xg[:, :, half:].reshape(t_pad, n // 2)
+            eth = jnp.asarray(_expansion_matrix(g_tot, n // 2).T.copy(),
+                              jnp.bfloat16)               # (Kb, G)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(n_o,),
+                in_specs=[_const_spec((t_pad, n // 2)),
+                          _const_spec((t_pad, n // 2)),
+                          _w_spec(w.q.shape),
+                          _w_spec(w.s.shape),
+                          _const_spec((n // 2, g_tot))],
+                out_specs=pl.BlockSpec((t_pad, o_t), lambda i, l: (0, i),
+                                       memory_space=pltpu.VMEM))
+            out = pl.pallas_call(
+                _se_q4_km_kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((t_pad, o), jnp.float32),
+                compiler_params=vmem, interpret=interpret,
+            )(l_arr, x_lo, x_hi, w.q, w.s, eth)
+        else:
+            et = jnp.asarray(_expansion_matrix(g_tot, n).T.copy(),
+                             jnp.bfloat16)                # (K, G)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(n_o,),
+                in_specs=[_const_spec((t_pad, n)),
+                          _w_spec(w.q.shape),
+                          _w_spec(w.s.shape),
+                          _const_spec((n, g_tot))],
+                out_specs=pl.BlockSpec((t_pad, o_t), lambda i, l: (0, i),
+                                       memory_space=pltpu.VMEM))
+            out = pl.pallas_call(
+                _se_q8_km_kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((t_pad, o), jnp.float32),
+                compiler_params=vmem, interpret=interpret,
+            )(l_arr, x2b, w.q, w.s, et)
+        return out[:t].reshape(*lead, o)
+
+    # T > 512 (vision-sized activations never reach the K-major layout;
+    # this covers oversized user prefill chunks): dense XLA dot on the
+    # dequantized layer — weights materialize once through HBM, amortized
+    # over thousands of rows.
+    sl = lambda a: jax.lax.dynamic_slice(
+        a, (layer_idx,) + (0,) * (a.ndim - 1), (1,) + a.shape[1:])
+    wl = QTensor(sl(w.q), sl(w.s), w.qtype, w.group_size, w.out_features,
+                 w.in_features, kmajor=True)
+    wd = kmajor_to_dense(wl)[0].astype(jnp.bfloat16)       # (O, K)
+    y = jnp.dot(x2.astype(jnp.bfloat16), wd.T,
+                preferred_element_type=jnp.float32)
+    return y.reshape(*lead, o)

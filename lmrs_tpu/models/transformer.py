@@ -226,7 +226,9 @@ def _localize(qt: Optional[QTensor]) -> Optional[QTensor]:
     pytree aux data still carries the global out/in sizes; every forward-path
     consumer below re-derives them so the same code runs sharded or not
     (no-op when the metadata already matches)."""
-    if qt is None or not isinstance(qt, QTensor):
+    if qt is None or not isinstance(qt, QTensor) or qt.kmajor:
+        # K-major tensors never run under shard_map (single-device decode
+        # layout) and their trailing dims are (Kb, O_T), not (O, in)
         return qt
     o = qt.q.shape[-2]
     i = qt.q.shape[-1] * (2 if qt.qtype == QuantType.Q4_0 else 1)
@@ -345,8 +347,16 @@ def embed_tokens(params: TransformerParams, cfg: ModelConfig,
     if emb.qtype == QuantType.NONE:
         x = emb.q[idx].astype(jnp.float32)
     else:
-        qrows = emb.q[idx]
-        srows = emb.s[idx]
+        if emb.kmajor:
+            # K-major tiled table (1, n_o, Kb, O_T): row v lives at
+            # [0, v // O_T, :, v % O_T] — bytes along Kb are exactly the
+            # runtime packed row, so the unpack below is unchanged
+            o_t = emb.q.shape[-1]
+            qrows = emb.q[0, idx // o_t, :, idx % o_t]
+            srows = emb.s[0, idx // o_t, :, idx % o_t]
+        else:
+            qrows = emb.q[idx]
+            srows = emb.s[idx]
         if emb.qtype == QuantType.Q4_0:
             from lmrs_tpu.quant import unpack_q4
             vals = unpack_q4(qrows, emb.group_size).astype(jnp.float32)
@@ -582,13 +592,13 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
     # scales with T (prefill chunks OOM scoped VMEM), and per-call overhead
     # — the thing fusion removes — amortizes over T in prefill anyway.
     if (lw.w13 is not None and cfg.fuse_ffn and t_q <= 16
-            and stacked_idx is None):
+            and stacked_idx is None and not lw.w13.kmajor):
         from lmrs_tpu.kernels.fused_ffn import ffn_fused_pallas
 
         ff = ffn_fused_pallas(xb2, lw.w13, lw.w2,
                               act="gelu" if is_gemma else "silu")
     elif (lw.w13 is not None and cfg.fuse_ffn and t_q <= 8
-            and stacked_idx is not None):
+            and stacked_idx is not None and not lw.w13.kmajor):
         from lmrs_tpu.kernels.fused_ffn import ffn_fused_xe_stacked
 
         ff = ffn_fused_xe_stacked(xb2, lw.w13, lw.w2, stacked_idx,
@@ -712,7 +722,8 @@ def forward(
                                            k_s=k_s, v_s=v_s, sp=sp)
         k_new, v_new, ks_new, vs_new = k_c, v_c, k_s, v_s
     elif (cfg.matmul_impl == "fast" and params.layers.wqkv is not None
-          and params.layers.wqkv.q.ndim == 3):
+          and (params.layers.wqkv.q.ndim == 3
+               or params.layers.wqkv.kmajor)):
         # scan-fast layout: big weights stay OUTSIDE the scan (the stacked
         # Pallas kernels index the layer via scalar prefetch — no per-layer
         # HBM copies, and the program has ~5 kernel call sites instead of

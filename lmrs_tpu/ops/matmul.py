@@ -72,7 +72,21 @@ def qmatmul(x: jax.Array, w: QTensor, impl: str = "exact",
     ~1e-7); Q4 and prefill run W4A16/W8A16 (no activation quantization).
     The throughput path.
     """
+    if w.kmajor and impl != "fast":
+        raise ValueError(
+            "K-major tiled weights only run under matmul_impl='fast' "
+            "(the exact path's bit-parity integer contraction has no "
+            "K-major variant) — keep row-major params for impl="
+            f"{impl!r}")
     if impl == "fast" and w.qtype != QuantType.NONE:
+        if w.kmajor:
+            # K-major tiled decode layout: T=1 runs the VPU matvec (2x the
+            # MXU xe kernels' weight streaming rate at matvec shapes — see
+            # kernels/vpu_matvec.py), larger T the K-major xe/s@E variants
+            from lmrs_tpu.kernels.vpu_matvec import qmatmul_kmajor
+
+            return qmatmul_kmajor(
+                x, w, 0 if layer_idx is None else layer_idx)
         from lmrs_tpu.kernels.dequant_matmul import (qmatmul_pallas,
                                                      qmatmul_pallas_stacked,
                                                      qmatmul_pallas_xe)

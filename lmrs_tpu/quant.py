@@ -40,7 +40,8 @@ class QuantType(enum.IntEnum):
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=("q", "s"),
-    meta_fields=("qtype", "group_size", "out_features", "in_features"),
+    meta_fields=("qtype", "group_size", "out_features", "in_features",
+                 "kmajor"),
 )
 @dataclasses.dataclass
 class QTensor:
@@ -51,6 +52,10 @@ class QTensor:
     - Q4_0:  q is uint8 (out, in//2) nibble-packed, s is f32 (out, in//gs).
 
     Layer-stacked variants carry a leading n_layers axis on both q and s.
+
+    kmajor=True marks the K-major tiled decode layout
+    (kernels/vpu_matvec.py): q (L, n_o, Kb, O_T), s (L, n_o, G, O_T),
+    L=1 for non-stacked tensors.
     """
 
     q: jax.Array
@@ -59,6 +64,7 @@ class QTensor:
     group_size: int
     out_features: int
     in_features: int
+    kmajor: bool = False
 
     @property
     def logical_shape(self):

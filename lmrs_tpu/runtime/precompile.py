@@ -32,9 +32,22 @@ def _sds(shape, dtype):
 
 
 def _qt_sds(cfg: ModelConfig, out_f: int, in_f: int,
-            stacked: bool) -> QTensor:
+            stacked: bool, kmajor: bool = False) -> QTensor:
     """ShapeDtypeStruct QTensor matching io.params._qtensor's runtime
-    layout (packed Q4 bytes are uint8 after the device repack; Q8 int8)."""
+    layout (packed Q4 bytes are uint8 after the device repack; Q8 int8).
+    kmajor mirrors kernels.vpu_matvec.to_kmajor's tiled layout."""
+    if kmajor and cfg.quant != QuantType.NONE:
+        from lmrs_tpu.kernels.vpu_matvec import kmajor_o_tile
+
+        L = cfg.n_layers if stacked else 1
+        o_t = kmajor_o_tile(out_f)
+        n_o = out_f // o_t
+        kb = in_f // 2 if cfg.quant == QuantType.Q4_0 else in_f
+        dt = jnp.uint8 if cfg.quant == QuantType.Q4_0 else jnp.int8
+        return QTensor(_sds((L, n_o, kb, o_t), dt),
+                       _sds((L, n_o, in_f // cfg.group_size, o_t),
+                            jnp.float32),
+                       cfg.quant, cfg.group_size, out_f, in_f, kmajor=True)
     lead = (cfg.n_layers,) if stacked else ()
     if cfg.quant == QuantType.NONE:
         return QTensor(_sds(lead + (out_f, in_f), jnp.float32), None,
@@ -47,10 +60,11 @@ def _qt_sds(cfg: ModelConfig, out_f: int, in_f: int,
     return QTensor(q, s, cfg.quant, cfg.group_size, out_f, in_f)
 
 
-def params_shapes(cfg: ModelConfig):
+def params_shapes(cfg: ModelConfig, kmajor: bool = False):
     """TransformerParams ShapeDtypeStruct tree for the scan-fast layout
     (stack_layers=True, fuse_qkv=True — the serving default built by
-    io.params.params_from_lmrs / bench.py's "scan" layout)."""
+    io.params.params_from_lmrs / bench.py's "scan" layout); kmajor=True
+    mirrors the K-major decode layout (kernels.vpu_matvec.kmajor_params)."""
     from lmrs_tpu.models.transformer import LayerWeights, TransformerParams
 
     L, D, H = cfg.n_layers, cfg.dim, cfg.hidden_dim
@@ -59,19 +73,19 @@ def params_shapes(cfg: ModelConfig):
     norm = _sds((L, D), jnp.float32)
     layers = LayerWeights(
         att_norm=norm, wq=None, wk=None, wv=None,
-        wo=_qt_sds(cfg, D, A, True),
+        wo=_qt_sds(cfg, D, A, True, kmajor),
         post_att_norm=norm,
         pre_ffn_norm=norm if gemma else None,
-        w1=None, w2=_qt_sds(cfg, D, H, True), w3=None,
+        w1=None, w2=_qt_sds(cfg, D, H, True, kmajor), w3=None,
         post_ffn_norm=norm if gemma else None,
-        wqkv=_qt_sds(cfg, A + 2 * KV, D, True),
-        w13=_qt_sds(cfg, 2 * H, D, True),
+        wqkv=_qt_sds(cfg, A + 2 * KV, D, True, kmajor),
+        w13=_qt_sds(cfg, 2 * H, D, True, kmajor),
     )
-    lm_head = (_qt_sds(cfg, V, D, False)
+    lm_head = (_qt_sds(cfg, V, D, False, kmajor)
                if cfg.model_type == ModelType.PHI else None)
     half = cfg.head_dim // 2
     return TransformerParams(
-        embed=_qt_sds(cfg, V, D, False),
+        embed=_qt_sds(cfg, V, D, False, kmajor),
         layers=layers,
         final_norm=_sds((D,), jnp.float32),
         lm_head=lm_head,
@@ -218,6 +232,7 @@ def precompile_single_stream(
     temperature: float = 0.0,
     top_p: float = 0.9,
     log=None,
+    kmajor: bool = False,
 ) -> threading.Thread:
     """Start a daemon thread AOT-compiling every program a single-stream
     Engine.generate(prompt_len, max_new) run will execute (scan-fast
@@ -227,7 +242,7 @@ def precompile_single_stream(
     from lmrs_tpu.runtime.engine import _compiled_fns
 
     enable_compilation_cache()
-    p_sh = params_shapes(cfg)
+    p_sh = params_shapes(cfg, kmajor=kmajor)
     c_sh = cache_shapes(cfg, cache_dtype)
     prefill_jobs, decode_buckets = single_stream_plan(
         cfg, prompt_len, max_new, min_attn_bucket, prefill_chunk,
