@@ -317,13 +317,22 @@ def bench_batched(f, params, config_name, quant_name, batch, n_tokens,
 
     cfg = f.cfg
     max_ctx = int(os.environ.get("LMRS_BENCH_MAX_CTX", "2048"))
-    # LMRS_BENCH_POOL=N: PAGED KV cache with N pooled rows (memory =
-    # sum of live contexts, not batch x max-ctx); LMRS_BENCH_PAGE sets
-    # the page granularity (rows per page = flash block size)
-    pool = int(os.environ.get("LMRS_BENCH_POOL", "0")) or None
+    # LMRS_BENCH_POOL: paged-pool rows.  Unset/-1 -> AUTO (paged is the
+    # batched default, 0.75 x B x max-ctx rows — serve.backend does the
+    # same); 0 -> contiguous cache; N -> N pooled rows.  LMRS_BENCH_PAGE
+    # sets the page granularity (rows per page = flash block size).
+    pool_env = os.environ.get("LMRS_BENCH_POOL", "-1")
     page = int(os.environ.get("LMRS_BENCH_PAGE", "512"))
     from lmrs_tpu.runtime.engine import CACHE_DTYPES
     cache_dtype = CACHE_DTYPES[os.environ.get("LMRS_BENCH_KV", "bfloat16")]
+    if int(pool_env) < 0:
+        from lmrs_tpu.serve.scheduler import (auto_pool_tokens,
+                                              paged_supported)
+
+        pool = (auto_pool_tokens(batch, min(max_ctx, cfg.seq_len), page)
+                if paged_supported(cfg, cp, cache_dtype) else None)
+    else:
+        pool = int(pool_env) or None
     if tp > 1 or cp > 1:
         from lmrs_tpu.parallel.tp import make_mesh_scheduler
 
@@ -363,10 +372,12 @@ def bench_batched(f, params, config_name, quant_name, batch, n_tokens,
                for _ in range(batch)]
 
     # warmup (compiles prefill + batched chunk programs at all buckets)
+    run = getattr(sched, "run_threaded", None) if dp > 1 else None
+    run = run or sched.run
     for p in prompts:
         sched.submit(p, max_new_tokens=n_tokens)
     t0 = time.time()
-    sched.run()
+    run()
     log(f"warmup (compile): {time.time() - t0:.1f}s")
 
     for s in getattr(sched, "replicas", [sched]):
@@ -376,7 +387,7 @@ def bench_batched(f, params, config_name, quant_name, batch, n_tokens,
     for p in prompts:
         sched.submit(p, max_new_tokens=n_tokens,
                      on_done=lambda out: done.append(len(out)))
-    sched.run()
+    run()
     wall = time.perf_counter() - t0
     total = sum(done)
     toks = total / wall

@@ -40,8 +40,10 @@ from lmrs_tpu.ops.sampling import sample_argmax, sample_topp, sample_multinomial
 
 
 #: CLI/env name -> KV cache storage dtype.  int8 = per-(pos, head)
-#: quantized cache; "int4" = nibble-packed (4x bf16 capacity; single-
-#: device engines only — see models.transformer.quantize_kv_rows_q4)
+#: quantized cache; "int4" = nibble-packed (4x bf16 capacity; runs on
+#: single-device AND tp-mesh engines — KV-head-sharded scales, head-pair
+#: packing for hd-128 models; see models.transformer.quantize_kv_rows_q4
+#: and tests/test_int8_cache.py::test_int4_cache_tp_mesh)
 CACHE_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                 "int8": jnp.int8, "int4": "int4"}
 

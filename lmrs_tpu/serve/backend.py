@@ -14,8 +14,9 @@ Design differences from the reference, both deliberate:
     shared mmap (backend.rs:88-110); here the device weights are loaded once
     and shared — each connection gets its own Engine (KV cache + position),
     and generations serialize through an asyncio lock (single-stream
-    decode).  Continuous batching across a dp mesh axis is the planned
-    multi-chip extension.
+    decode).  `--batch` switches to the continuous-batching scheduler,
+    and `--dp N` shards it across N data-parallel replica meshes
+    (serve/replicas.py), each stepped by its own thread.
   * The reference double-counts positions after an image
     (`pos += fill_kv_cache(...)` where fill returns the new absolute
     position, backend.rs:215 — cf. chat.rs:119 which assigns); the engine
@@ -56,7 +57,7 @@ class BackendServer:
                  max_ctx: Optional[int] = None, matmul_impl: str = "fast",
                  tp: int = 1, cp: int = 1, spec_k: int = 0,
                  pool_tokens: Optional[int] = None, page_size: int = 512,
-                 dp: int = 1):
+                 dp: int = 1, no_paged: bool = False):
         import jax.numpy as jnp
 
         from lmrs_tpu.runtime.engine import CACHE_DTYPES
@@ -80,6 +81,20 @@ class BackendServer:
             raise ValueError("--pool-tokens (paged KV cache) requires "
                              "--batch; --cp is not supported (pages are "
                              "head-sharded, not sequence-sharded)")
+        # PAGED IS THE BATCHED DEFAULT (round 4 measured paging free at a
+        # fair pool — RESULTS_r4.md §7 — and it buys sum-of-contexts
+        # memory + admission backpressure instead of OOM): --batch alone
+        # auto-sizes a pool; --pool-tokens overrides the size; --no-paged
+        # restores the contiguous cache; unsupported configs (cp meshes,
+        # exact impl, unaligned head dims) silently stay contiguous.
+        from lmrs_tpu.serve.scheduler import (auto_pool_tokens,
+                                              paged_supported)
+
+        if (batch > 0 and pool_tokens is None and not no_paged
+                and paged_supported(self.cfg, cp, CACHE_DTYPES[cache_dtype])):
+            pool_tokens = auto_pool_tokens(
+                batch, min(max_ctx or self.cfg.seq_len, self.cfg.seq_len),
+                page_size)
         self._mesh_engine_proto = None
         self._mesh_scheduler = None
         # dp>1: data-parallel serving — dp scheduler replicas over disjoint
@@ -528,9 +543,13 @@ def main(argv=None):
                    help="context-parallel ways (sequence-sharded KV cache)")
     p.add_argument("--pool-tokens", dest="pool_tokens", type=int,
                    default=None,
-                   help="batch mode: PAGED KV cache with this many pooled "
-                        "rows (memory = sum of live contexts, not "
-                        "batch x max-ctx)")
+                   help="batch mode: pool-row override for the PAGED KV "
+                        "cache (memory = sum of live contexts, not "
+                        "batch x max-ctx).  --batch is paged BY DEFAULT "
+                        "at 0.75 x batch x max-ctx rows")
+    p.add_argument("--no-paged", dest="no_paged", action="store_true",
+                   help="batch mode: use the contiguous batched KV cache "
+                        "instead of the default paged pool")
     p.add_argument("--page-size", dest="page_size", type=int, default=512,
                    help="paged-cache page rows (= flash block size)")
     p.add_argument("--no-warmup", dest="no_warmup", action="store_true",
@@ -547,7 +566,8 @@ def main(argv=None):
                            max_ctx=args.max_ctx, matmul_impl=args.impl,
                            tp=args.tp, cp=args.cp, spec_k=args.spec_k,
                            pool_tokens=args.pool_tokens,
-                           page_size=args.page_size, dp=args.dp)
+                           page_size=args.page_size, dp=args.dp,
+                           no_paged=args.no_paged)
     if not args.no_warmup:
         server.warmup()
     try:

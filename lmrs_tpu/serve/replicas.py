@@ -117,6 +117,27 @@ class ReplicaRouter:
             if poll is not None and not poll():
                 return
 
+    def run_threaded(self):
+        """Drain all replicas with ONE STEPPING THREAD PER REPLICA (what
+        serve.backend's SchedulerThreads do for live traffic) — replica
+        host work (token fetches, sampling-state updates) overlaps across
+        replicas instead of serializing on a single round-robin thread.
+        This is the bench driving mode: it makes the aggregate
+        `decode_seconds = max(per-replica)` metric's overlap assumption
+        REAL rather than dependent on async dispatch alone."""
+        import threading
+
+        def drain(r: BatchScheduler):
+            while r.has_work():
+                r.step()
+
+        threads = [threading.Thread(target=drain, args=(r,), daemon=True)
+                   for r in self.replicas if r.has_work()]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
     def warmup(self):
         for r in self.replicas:
             r.warmup()
@@ -128,8 +149,12 @@ class ReplicaRouter:
 
     @property
     def decode_seconds(self) -> float:
-        # wall-clock overlap across replicas means the aggregate rate is
-        # tokens / max(per-replica decode time), not / sum
+        # tokens / max(per-replica decode time): assumes replicas decode
+        # CONCURRENTLY.  True under run_threaded() / serve.backend's
+        # per-replica SchedulerThreads (each replica has its own stepping
+        # thread + device group); under single-threaded step()/run() only
+        # async dispatch provides overlap, so prefer the threaded drivers
+        # when this metric matters.
         return max((r.decode_seconds for r in self.replicas), default=0.0)
 
     @property

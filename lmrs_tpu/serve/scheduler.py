@@ -49,6 +49,33 @@ class PoolExhausted(RuntimeError):
     """The paged KV pool has no free pages for a required allocation."""
 
 
+def paged_supported(cfg: ModelConfig, cp: int = 1,
+                    cache_dtype=jnp.bfloat16) -> bool:
+    """Whether the paged KV pool can serve this config — the product
+    surfaces (serve.backend --batch, bench.py) default to paged when this
+    holds (round-4 measured paging free at a fair pool: 368 vs 364 tok/s,
+    RESULTS_r4.md §7) and fall back to the contiguous batched cache
+    otherwise."""
+    if cfg.matmul_impl != "fast" or cfg.cache_head_dim % 128 or cp > 1:
+        return False
+    if cache_dtype == "int4":
+        from lmrs_tpu.models.transformer import q4_cache_supported
+
+        return q4_cache_supported(cfg.n_kv_heads, cfg.cache_head_dim)
+    return True
+
+
+def auto_pool_tokens(max_batch: int, max_ctx: int, page_size: int = 512,
+                     fill: float = 0.75) -> int:
+    """Default pool sizing for paged-by-default serving: `fill` x the
+    contiguous cache's B x max_ctx rows (live contexts rarely all run to
+    max length; an under-filled pool degrades into admission backpressure,
+    not OOM), rounded up to whole pages, never below one page per slot."""
+    rows = int(fill * max_batch * max_ctx)
+    rows = max(rows, max_batch * page_size)
+    return -(-rows // page_size) * page_size
+
+
 @dataclasses.dataclass
 class Request:
     prompt: List[int]

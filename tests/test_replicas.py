@@ -123,3 +123,40 @@ def test_router_paged_replicas(lmrs_file):
 def test_router_device_budget(lmrs_file):
     with pytest.raises(ValueError, match="needs"):
         ReplicaRouter(lmrs_file, dp=len(jax.devices()) + 1, **SCHED_KW)
+
+
+def test_router_run_threaded_interleaves(lmrs_file):
+    """run_threaded (the bench --dp driver) steps replicas on concurrent
+    threads: step events from different replicas interleave in wall order
+    (the aggregate decode_seconds = max() metric assumes exactly this),
+    and the tokens match the single-threaded router."""
+    import threading
+
+    want = _run(ReplicaRouter(lmrs_file, dp=2, **SCHED_KW))
+
+    router = ReplicaRouter(lmrs_file, dp=2, **SCHED_KW)
+    events = []
+    lock = threading.Lock()
+    for idx, rep in enumerate(router.replicas):
+        orig = rep.step
+
+        def step(orig=orig, idx=idx):
+            with lock:
+                events.append(idx)
+            return orig()
+        rep.step = step
+
+    done = {}
+    for i, p in enumerate(PROMPTS):
+        router.submit(p, max_new_tokens=8,
+                      on_done=lambda o, i=i: done.setdefault(i, o))
+    router.run_threaded()
+    got = [done.get(i) for i in range(len(PROMPTS))]
+    assert got == want
+
+    # both replicas stepped, and their events interleave (at least one
+    # 0->1->0 or 1->0->1 transition pair — a serialized drain would be
+    # 000...111 with exactly one transition)
+    assert set(events) == {0, 1}, events
+    transitions = sum(1 for a, b in zip(events, events[1:]) if a != b)
+    assert transitions >= 2, events
