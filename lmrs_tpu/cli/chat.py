@@ -49,8 +49,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--spec-k", dest="spec_k", type=int, default=0,
                    help="prompt-lookup speculative decoding: verify K "
-                        "drafted tokens per forward (greedy only — "
-                        "requires --temperature 0)")
+                        "drafted tokens per forward (greedy streams "
+                        "accept by token equality; sampled streams by "
+                        "rejection sampling — both distribution-exact)")
     p.add_argument("--top-p", dest="top_p", type=float, default=0.9)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--show-metrics", action="store_true")
@@ -133,9 +134,6 @@ def main(argv: Optional[List[str]] = None) -> None:
         params = params_from_lmrs(f, fuse_qkv=fuse)
         print("Done.\n")
         engine = Engine(cfg, params, cache_dtype=cache_dtype)
-    if args.spec_k and args.temperature != 0.0:
-        sys.exit("--spec-k requires --temperature 0 (greedy); speculative "
-                 "sampling is not distribution-correct otherwise")
     gen = GenerationConfig(temperature=args.temperature, top_p=args.top_p,
                            seed=args.seed, max_new_tokens=args.max_new_tokens,
                            speculative_k=args.spec_k)

@@ -60,6 +60,39 @@ def sample(logits: jnp.ndarray, key: jax.Array, temperature: float = 0.0,
     return sample_topp(logits, temperature, top_p, key)
 
 
+def processed_probs(logits: jnp.ndarray, temperature: jnp.ndarray,
+                    top_p: jnp.ndarray) -> jnp.ndarray:
+    """The EXACT distribution `sample`/`sample_batched` draw from, as an
+    explicit (..., V) probability tensor: softmax at `temperature`, then —
+    when top_p is in (0, 1) — the nucleus truncation of sample_topp
+    (smallest sorted prefix whose cumulative mass exceeds top_p),
+    renormalized.  Scalars may be traced (per-slot use vmaps this).
+
+    This is what speculative rejection sampling needs as its target p:
+    with a DETERMINISTIC draft (prompt lookup), accepting draft token d
+    with probability p(d) and resampling a rejection from p with d zeroed
+    (renormalized) emits tokens distributed exactly as p — the Leviathan
+    et al. speculative-sampling identity specialized to a point-mass
+    proposal q = δ_d (accept prob min(1, p/q)·q-mass = p(d); residual
+    (p − δ_d)₊ ∝ p off d)."""
+    t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)[..., None]
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / t, axis=-1)
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    order = jnp.argsort(probs, axis=-1)[..., ::-1]
+    csum = jnp.cumsum(sorted_probs, axis=-1)
+    top_p = jnp.asarray(top_p, jnp.float32)
+    nucleus = (top_p > 0.0) & (top_p < 1.0)
+    p_eff = jnp.where(nucleus, top_p, 2.0)[..., None]
+    keep = jnp.roll(csum, 1, axis=-1) < p_eff
+    keep = keep.at[..., 0].set(True)
+    filtered = jnp.where(keep, sorted_probs, 0.0)
+    # scatter back to vocab order via the inverse permutation — threshold
+    # masking would differ from sample_topp under ties at the cutoff
+    inv = jnp.argsort(order, axis=-1)
+    p = jnp.take_along_axis(filtered, inv, axis=-1)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
 def sample_batched(logits: jnp.ndarray, temperature: jnp.ndarray,
                    top_p: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     """Per-slot sampling with TRACED per-slot parameters.

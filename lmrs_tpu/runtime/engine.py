@@ -56,10 +56,13 @@ class GenerationConfig:
     top_p: float = 0.9
     seed: Optional[int] = None
     max_new_tokens: int = 512
-    # speculative_k > 0 enables prompt-lookup speculative decoding (greedy
-    # only — temperature must be 0): k drafted tokens verified per forward,
-    # device-side lookup/accept loop (runtime/speculative.py).  k=7 keeps
-    # the T=k+1 verify step on the fast decode matmul kernels (T<=8).
+    # speculative_k > 0 enables prompt-lookup speculative decoding: k
+    # drafted tokens verified per forward, device-side lookup/accept loop
+    # (runtime/speculative.py).  Greedy (temperature 0) accepts by token
+    # equality; sampled streams accept by rejection sampling against the
+    # processed sampler distribution — both emit tokens distributed
+    # exactly as plain decode.  k=7 keeps the T=k+1 verify step on the
+    # fast decode matmul kernels (T<=8).
     speculative_k: int = 0
 
 
@@ -422,8 +425,9 @@ class Engine:
                     spec = self._spec_fn(spec_k)
                     h = jnp.zeros((self.cfg.seq_len,), jnp.int32)
                     _, _, self.cache, h, _, _ = spec(
-                        self.params, self.cache, h, jnp.int32(1),
-                        n_steps=self.decode_chunk, k=spec_k, attn_len=b)
+                        self.params, self.cache, h, jnp.int32(1), key,
+                        n_steps=self.decode_chunk, k=spec_k, attn_len=b,
+                        temperature=temperature, top_p=top_p)
             if b >= limit:
                 break
             b = self._attn_bucket(b + 1)
@@ -548,8 +552,8 @@ class Engine:
         # speculation composes with cp: cp_masked_write is row-exact, so a
         # verify window straddling a sequence-shard boundary splits across
         # the owning shards (tests/test_engine_mesh.py spec-on-cp parity)
-        if gen.speculative_k > 0 and gen.temperature == 0.0:
-            self._generate_speculative(gen, stop, out, on_token)
+        if gen.speculative_k > 0:
+            self._generate_speculative(gen, stop, out, on_token, key)
             self.metrics.decode_tokens += len(out)
             self.metrics.decode_seconds += time.perf_counter() - t_decode0
             return out
@@ -650,8 +654,9 @@ class Engine:
         return make_spec_chunk(self.cfg)
 
     def _generate_speculative(self, gen: GenerationConfig, stop,
-                              out: List[int], on_token) -> None:
-        """Prompt-lookup speculative decode loop (greedy; see
+                              out: List[int], on_token, key) -> None:
+        """Prompt-lookup speculative decode loop (greedy-exact at
+        temperature 0, rejection sampling otherwise; see
         runtime/speculative.py).  The first sampled token is already in
         `out` and recorded in the history at index self.pos; each device
         chunk runs n_steps lookup→verify(T=k+1)→accept steps and returns
@@ -676,9 +681,11 @@ class Engine:
                 break
             attn_len = self._attn_bucket(self.pos + n_steps * (k + 1) + 1)
             pos_before = self.pos
+            key, sub = jax.random.split(key)
             out_buf, n_out, self.cache, h, p_new, accs = spec(
-                self.params, self.cache, h, jnp.int32(pos_before),
-                n_steps=n_steps, k=k, attn_len=attn_len)
+                self.params, self.cache, h, jnp.int32(pos_before), sub,
+                n_steps=n_steps, k=k, attn_len=attn_len,
+                temperature=gen.temperature, top_p=gen.top_p)
             arr = np.asarray(out_buf)
             n_o = int(n_out)
             self.metrics.spec_proposed += n_steps * k

@@ -155,11 +155,12 @@ class BackendServer:
             self.params = params_from_lmrs(self.file, fuse_qkv=fuse)
         self.cache_dtype = CACHE_DTYPES[cache_dtype]
         self.temperature = temperature
-        # speculative decoding: single-engine mode needs a greedy server
-        # temperature; the batched scheduler gates greedy PER SLOT inside
-        # the chunk, so it takes spec_k unconditionally.  cp composes: the
-        # row-exact cp_masked_write splits straddling verify windows.
-        self.spec_k = spec_k if (batch > 0 or temperature == 0.0) else 0
+        # speculative decoding applies to greedy AND sampled streams:
+        # greedy accepts by token equality, sampled by rejection sampling
+        # (runtime/speculative.py) — both distribution-exact.  cp
+        # composes: the row-exact cp_masked_write splits straddling
+        # verify windows.
+        self.spec_k = spec_k
         self.top_p = top_p
         self.seed = seed
         self.num_crops = num_crops
@@ -206,7 +207,9 @@ class BackendServer:
         elif self.scheduler is not None:
             self.scheduler.call(self.scheduler.sched.warmup)
         else:
-            self._new_engine().warmup(spec_k=self.spec_k)
+            self._new_engine().warmup(spec_k=self.spec_k,
+                                      temperature=self.temperature,
+                                      top_p=self.top_p)
         print(f"Warmup (compile): {time.time() - t0:.1f}s", flush=True)
 
     def _new_engine(self):
@@ -537,8 +540,10 @@ def main(argv=None):
                         "behind a least-loaded router — aggregate "
                         "throughput scales with dp")
     p.add_argument("--spec-k", dest="spec_k", type=int, default=0,
-                   help="prompt-lookup speculative decoding for greedy "
-                        "(--temperature 0) single-engine serving")
+                   help="prompt-lookup speculative decoding: greedy "
+                        "streams accept by token equality, sampled "
+                        "streams by rejection sampling (both "
+                        "distribution-exact)")
     p.add_argument("--cp", type=int, default=1,
                    help="context-parallel ways (sequence-sharded KV cache)")
     p.add_argument("--pool-tokens", dest="pool_tokens", type=int,

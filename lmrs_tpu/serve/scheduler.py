@@ -220,9 +220,9 @@ class BatchScheduler:
         self.min_attn_bucket = min(min_attn_bucket, self.S)
         self.temperature = temperature
         self.top_p = top_p
-        # prompt-lookup speculative decoding for the batched step (greedy
-        # slots only — sampled slots in the same batch decode normally,
-        # gated per slot inside the jitted chunk)
+        # prompt-lookup speculative decoding for the batched step: greedy
+        # slots accept by token equality, sampled slots by rejection
+        # sampling — gated per slot inside the jitted chunk
         self.spec_k = speculative_k
         self.spec_proposed = 0
         self.spec_accepted = 0
@@ -456,15 +456,21 @@ class BatchScheduler:
                           key, table, n_steps, k, attn_len, paged=False):
             """Batched prompt-lookup speculative chunk: every step runs
             ONE t_q=k+1 verify forward for ALL slots; greedy slots accept
-            their longest matching draft prefix, sampled slots sample row
-            0 and accept nothing (runtime/speculative.py documents the
-            cache-garbage/causal-mask invariant).  Returns per-slot token
-            buffers + counts.  With `paged`, the verify windows write
-            through the page table (the row-wise paged writes are
-            straddle-safe); non-paged callers pass a dummy table."""
+            their longest matching draft prefix, sampled slots accept by
+            rejection sampling against the processed sampler distribution
+            (runtime/speculative.py — distribution-exact per emitted
+            token; the cache-garbage/causal-mask invariant covers rows
+            past the accepted prefix).  All-greedy batches skip the
+            (B*(k+1), V) prob machinery at runtime, like sample_batched.
+            Returns per-slot token buffers + counts.  With `paged`, the
+            verify windows write through the page table (the row-wise
+            paged writes are straddle-safe); non-paged callers pass a
+            dummy table."""
             def body(params, cache, h, tokens, pos, temps, top_ps, key,
                      table):
-                from lmrs_tpu.runtime.speculative import lookup_draft
+                from lmrs_tpu.ops.sampling import processed_probs
+                from lmrs_tpu.runtime.speculative import (lookup_draft,
+                                                          rejection_accept)
 
                 B = tokens.shape[0]
                 vmax = cfg.vocab_size - 1
@@ -482,12 +488,24 @@ class BatchScheduler:
                         table=table if paged else None)
                     logits = logits.reshape(B, k + 1, -1)
                     g = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, k+1)
+                    ok_g = draft == g[:, :-1]                     # (B, k)
                     key, sub = jax.random.split(key)
-                    tok0 = sample_batched(logits[:, 0], temps, top_ps, sub)
-                    ok = (draft == g[:, :-1]) & greedy[:, None]
+
+                    def _sampled(args):
+                        logits, draft, temps, top_ps, sub = args
+                        probs = jax.vmap(processed_probs)(
+                            logits, temps, top_ps)        # (B, k+1, V)
+                        ok_s, emit_s = jax.vmap(rejection_accept)(
+                            probs, draft, jax.random.split(sub, B))
+                        return (jnp.where(greedy[:, None], ok_g, ok_s),
+                                jnp.where(greedy[:, None], g, emit_s))
+
+                    ok, emit = jax.lax.cond(
+                        jnp.any(temps > 0.0), _sampled,
+                        lambda args: (ok_g, g),
+                        (logits, draft, temps, top_ps, sub))
                     ok = jnp.concatenate([ok, jnp.zeros((B, 1), bool)], 1)
                     n_acc = jnp.argmin(ok, axis=1).astype(jnp.int32)
-                    emit = g.at[:, 0].set(tok0)                  # (B, k+1)
                     h = jax.vmap(lambda hb, eb, pb:
                                  jax.lax.dynamic_update_slice(hb, eb,
                                                               (pb + 1,)))(
@@ -1207,9 +1225,10 @@ class BatchScheduler:
         accs_np = np.asarray(accs)           # (n, B)
         self.decode_seconds += time.perf_counter() - t0
         for i, s in active:
-            if temps[i] == 0.0:
-                self.spec_proposed += n * k
-                self.spec_accepted += int(accs_np[:, i].sum())
+            # greedy AND sampled slots speculate (token-equality vs
+            # rejection-sampling acceptance — both count)
+            self.spec_proposed += n * k
+            self.spec_accepted += int(accs_np[:, i].sum())
             pos_before = s.pos
             used = self._emit(i, s, [int(t) for t in arr[i, :counts[i]]])
             if used != int(counts[i]):

@@ -14,11 +14,18 @@ the missing ~7 ms:
              pos~1100, bf16 cache (live-clamp block skipping active)
   glue       residual = engine ms/tok (pass via --engine-ms) minus the above
 
-MEASUREMENT RULE (learned the hard way, results_r5/timing_cache_note.md):
-this platform CACHES repeat executions whose input values are unchanged —
-a timed chain must thread a per-call-varying seed through every
-computation (acc = 1e-6*sum(y), seeded from the call counter) or repeat
-calls return in ~0 s and the "measurement" is the cache, not the chip.
+MEASUREMENT RULES (learned the hard way, results_r5/timing_cache_note.md):
+1. this platform CACHES repeat executions whose input values are unchanged —
+   a timed chain must thread a per-call-varying seed through every
+   computation (acc = 1e-6*sum(y), seeded from the call counter) or repeat
+   calls return in ~0 s and the "measurement" is the cache, not the chip.
+2. `jax.block_until_ready` is NOT a reliable completion barrier through the
+   remote-execution tunnel (validated /tmp/timing_probe5.py: 6 chained
+   data-dependent 8192^3 matmuls "complete" in 0.3 ms under
+   block_until_ready but 66 ms under host fetch).  Time by HOST-FETCHING
+   the scalar result (float(np.asarray(...))), and difference a LONG chain
+   against a SHORT chain of the same program so the fetch/dispatch constant
+   cancels.
 
 Sweeps LMRS_VM_OTILE (512/1024/2048) for mm_chain, and group size 128 vs
 256 to price the probe's gs gap.
@@ -38,8 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-N_CHAIN = 8     # tokens per timed program call
-R = 4
+N_SHORT, N_LONG = 2, 8   # chain lengths; per-token = (t_long - t_short) / 6
 
 # gemma2-9b layer shapes: wqkv, wo, w13, w2
 LAYER_SHAPES = [(8192, 3584), (3584, 4096), (28672, 3584), (3584, 14336)]
@@ -55,21 +61,25 @@ def _next_seed():
     return jnp.int32(_seed_counter[0])
 
 
+def _fetch(x):
+    return float(np.asarray(x))
+
+
 def _measure(prog, *args):
-    """Median of 3 delta-timed samples; every call gets a FRESH seed so
-    the platform's value-keyed execution cache cannot serve repeats."""
-    jax.block_until_ready(prog(_next_seed(), *args))
+    """Median of 3 length-delta samples, each timed by HOST FETCH of the
+    scalar result; every call gets a FRESH seed so the platform's
+    value-keyed execution cache cannot serve repeats (prog must take
+    (seed, n, *args) with static n)."""
+    for n in (N_SHORT, N_LONG):       # compile + first-execution warm
+        _fetch(prog(_next_seed(), n, *args))
     samples = []
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(prog(_next_seed(), *args))
+        _fetch(prog(_next_seed(), N_SHORT, *args))
         t1 = time.time()
-        out = None
-        for _ in range(R):
-            out = prog(_next_seed(), *args)
-        jax.block_until_ready(out)
+        _fetch(prog(_next_seed(), N_LONG, *args))
         t2 = time.time()
-        samples.append(((t2 - t1) - (t1 - t0)) / ((R - 1) * N_CHAIN))
+        samples.append(((t2 - t1) - (t1 - t0)) / (N_LONG - N_SHORT))
     return float(np.median(samples))
 
 
@@ -94,8 +104,8 @@ def mm_chain_prog():
     so no subcomputation repeats a previous call's input values."""
     from lmrs_tpu.kernels.vpu_matvec import qmatmul_kmajor
 
-    @jax.jit
-    def prog(seed, ws, xs):
+    @partial(jax.jit, static_argnames=("n",))
+    def prog(seed, n, ws, xs):
         def tok(c, _):
             def layer(cl, l):
                 acc = cl
@@ -105,8 +115,7 @@ def mm_chain_prog():
                 return acc, None
             acc, _ = jax.lax.scan(layer, c, jnp.arange(L, dtype=jnp.int32))
             return acc, None
-        c, _ = jax.lax.scan(tok, seed.astype(jnp.float32) * 1e-4,
-                            length=N_CHAIN)
+        c, _ = jax.lax.scan(tok, seed.astype(jnp.float32) * 1e-4, length=n)
         return c
     return prog
 
@@ -155,13 +164,12 @@ def main():
     cls_w = _rand_kmajor(rng, VOCAB, DIM, 128, 512, 1)
     xc = jnp.asarray(rng.normal(0, 1, (1, DIM)).astype(np.float32))
 
-    @jax.jit
-    def cls_prog(seed, w, x):
+    @partial(jax.jit, static_argnames=("n",))
+    def cls_prog(seed, n, w, x):
         def tok(c, _):
             y = qmatmul_kmajor(x + c, w, 0)
             return 1e-6 * jnp.sum(y), None
-        c, _ = jax.lax.scan(tok, seed.astype(jnp.float32) * 1e-4,
-                            length=N_CHAIN)
+        c, _ = jax.lax.scan(tok, seed.astype(jnp.float32) * 1e-4, length=n)
         return c
 
     dt = _measure(cls_prog, cls_w, xc)
@@ -182,8 +190,8 @@ def main():
     q = jnp.asarray(rng.normal(0, 1, (1, 16, 256)).astype(np.float32))
     pos = jnp.int32(1104)
 
-    @jax.jit
-    def attn_prog(seed, q, kc, vc):
+    @partial(jax.jit, static_argnames=("n",))
+    def attn_prog(seed, n, q, kc, vc):
         def tok(c, _):
             def layer(cl, l):
                 o = flash_decode_stacked(
@@ -192,8 +200,7 @@ def main():
                 return 1e-6 * jnp.sum(o), None
             cl, _ = jax.lax.scan(layer, c, jnp.arange(L, dtype=jnp.int32))
             return cl, None
-        c, _ = jax.lax.scan(tok, seed.astype(jnp.float32) * 1e-4,
-                            length=N_CHAIN)
+        c, _ = jax.lax.scan(tok, seed.astype(jnp.float32) * 1e-4, length=n)
         return c
 
     dt = _measure(attn_prog, q, kc, vc)

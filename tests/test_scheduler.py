@@ -457,9 +457,10 @@ def test_scheduler_speculative_greedy_parity(model):
 @pytest.mark.slow  # heavy: excluded from the default fast run
 def test_scheduler_speculative_mixed_sampling(model):
     """Greedy and sampled requests share one speculative batch: greedy
-    slots stay token-exact vs the plain scheduler; sampled slots decode
-    one token per step (never accept drafts) and still produce their
-    budgeted stream."""
+    slots stay token-exact vs the plain scheduler; sampled slots accept
+    by rejection sampling (distribution-exact,
+    tests/test_speculative_sampling.py) and still produce their budgeted
+    stream."""
     cfg, params = model
 
     def run(spec_k):
@@ -480,6 +481,48 @@ def test_scheduler_speculative_mixed_sampling(model):
     got = run(4)
     assert got["g"] == want["g"], (got["g"], want["g"])
     assert len(got["s"]) == N_NEW
+
+
+@pytest.mark.slow  # heavy: excluded from the default fast run
+def test_scheduler_speculative_sampled_accepts():
+    """An all-sampled batch at near-zero temperature accepts drafts:
+    at temperature 1e-4 the processed distribution is one-hot at the
+    argmax even on these near-flat tiny-model logits (spread ~0.05), so
+    once the (effectively greedy) output falls into a repetition loop
+    the prompt-lookup draft IS the continuation and the REJECTION test
+    (u < p(d) ≈ 1) must pass — exercising the batched rejection path,
+    not the greedy path.  Seed-dependent like the engine's
+    looping-output test: at least one model seed must loop."""
+    looped = False
+    for seed in (11, 3, 7, 21):
+        cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, dim=64,
+                          hidden_dim=128, n_layers=2, vocab_size=256,
+                          group_size=32, seq_len=256)
+        params = params_from_weights(cfg, random_weights(cfg, seed=seed))
+        sched = BatchScheduler(cfg, params, max_batch=2, max_ctx=192,
+                               cache_dtype=jnp.float32, prefill_chunk=8,
+                               decode_chunk=4, min_attn_bucket=32,
+                               temperature=0.7, seed=5, speculative_k=3)
+        done = {}
+        sched.submit([3, 8, 1], max_new_tokens=96, temperature=1e-4,
+                     top_p=1.0, on_done=lambda o: done.setdefault("s", o))
+        sched.run()
+        out = done["s"]
+        assert sched.spec_proposed > 0
+        seen, cyclic = {}, False
+        for i in range(len(out) - 2):
+            bg = (out[i], out[i + 1])
+            if bg in seen and out[seen[bg] + 2] == out[i + 2]:
+                cyclic = True
+                break
+            seen[bg] = i
+        if not cyclic:
+            continue
+        looped = True
+        assert sched.spec_accepted > 0, \
+            "looping sampled output but rejection path accepted nothing"
+        break
+    assert looped, "no seed produced a looping output; pick new seeds"
 
 
 @pytest.mark.slow  # heavy: excluded from the default fast run
