@@ -170,6 +170,7 @@ class BackendServer:
             raise ValueError("Current model doesn't support multimodality.")
         # single accelerator: one generation at a time
         self.gpu_lock = asyncio.Lock()
+        self._warmup_thread = None
         # batch>0: continuous batching — connections share one scheduler
         # and decode concurrently instead of serializing on gpu_lock
         self.scheduler = None
@@ -193,12 +194,27 @@ class BackendServer:
                     pool_tokens=pool_tokens, page_size=page_size)
             self.scheduler = SchedulerThread(sched)
 
-    def warmup(self):
+    def warmup(self, background: bool = False):
         """Precompile the serving programs before taking traffic (the CLI
         does this by default; library users and tests opt in).  Batch
         mode warms the shared scheduler; engine mode warms one engine —
         its compiled programs are shared by every connection
-        (engine._compiled_fns / _mesh_fns_cached)."""
+        (engine._compiled_fns / _mesh_fns_cached).
+
+        background=True returns immediately and compiles on a daemon
+        thread: traffic admitted meanwhile compiles only the programs it
+        actually needs (the jit cache is process-global), so first-token
+        latency on a fresh process is bounded by the first REQUEST's own
+        prefill-chunk + decode-bucket programs, not the full bucket
+        sweep; the sweep finishes behind it.  In batch mode the warmup
+        runs as one scheduler-thread job, so requests queue behind it
+        only until the (short, single-bucket) paged warmup completes."""
+        if background:
+            import threading
+            self._warmup_thread = threading.Thread(target=self.warmup,
+                                                   daemon=True)
+            self._warmup_thread.start()
+            return
         import time
         t0 = time.time()
         if self._replica_threads:
@@ -561,6 +577,12 @@ def main(argv=None):
                    help="skip precompiling the serving programs at "
                         "startup (the first request then pays every "
                         "compile)")
+    p.add_argument("--background-warmup", dest="background_warmup",
+                   action="store_true",
+                   help="serve immediately and precompile behind traffic: "
+                        "the first request compiles only its own programs "
+                        "while the full bucket sweep finishes on a "
+                        "background thread")
     args = p.parse_args(argv)
 
     from lmrs_tpu.runtime.compile_cache import enable_compilation_cache
@@ -574,7 +596,7 @@ def main(argv=None):
                            page_size=args.page_size, dp=args.dp,
                            no_paged=args.no_paged)
     if not args.no_warmup:
-        server.warmup()
+        server.warmup(background=args.background_warmup)
     try:
         asyncio.run(server.serve(args.ip, args.port))
     except KeyboardInterrupt:

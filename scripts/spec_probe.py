@@ -47,6 +47,8 @@ def main():
     f = read_lmrs(path)
     cfg = f.cfg.replace(matmul_impl="fast")
     params = params_from_lmrs(f)
+    from lmrs_tpu.kernels.vpu_matvec import kmajor_params
+    params = kmajor_params(params)   # the production decode layout
     eng = Engine(cfg, params, cache_dtype=jnp.bfloat16, decode_chunk=32)
     print(f"{config_name} {quant_name} k={k} device={jax.devices()[0]}",
           flush=True)
@@ -58,6 +60,21 @@ def main():
         "random": list(rng.integers(3, cfg.vocab_size - 1, size=256)),
     }
 
+    # MEASUREMENT RULE (round-4 VERDICT weak #1): warm every configuration
+    # across the FULL generation depth before timing — a 16-token warmup
+    # leaves the deeper attention buckets uncompiled and the first timed
+    # run eats their compiles (the round-4 "+47%" artifact).  Timed runs
+    # start from clean steady state; plain baselines must then agree
+    # across workloads within noise.
+    def timed(prompt, gen):
+        eng.reset()
+        eng.generate(prompt, gen)          # full-depth warm (compiles)
+        eng.reset()
+        t0 = time.perf_counter()
+        out = eng.generate(prompt, gen)
+        dt = time.perf_counter() - t0
+        return out, dt
+
     for name, prompt in prompts.items():
         for label, gen in [
             ("plain", GenerationConfig(temperature=0.0,
@@ -65,20 +82,34 @@ def main():
             ("spec", GenerationConfig(temperature=0.0,
                                       max_new_tokens=n_tokens,
                                       speculative_k=k)),
+            # the reference ships --temperature 0.7 as its default
+            # (src/bin/chat.rs:25): rejection sampling makes --spec-k
+            # apply there too
+            ("plain-t0.7", GenerationConfig(temperature=0.7, top_p=0.9,
+                                            seed=5,
+                                            max_new_tokens=n_tokens)),
+            ("spec-t0.7", GenerationConfig(temperature=0.7, top_p=0.9,
+                                           seed=5, max_new_tokens=n_tokens,
+                                           speculative_k=k)),
         ]:
-            eng.reset()
-            # warm the programs (first call compiles)
-            eng.generate(prompt, dataclass_replace(gen, max_new_tokens=16))
-            eng.reset()
-            t0 = time.perf_counter()
-            out = eng.generate(prompt, gen)
-            dt = time.perf_counter() - t0
+            out, dt = timed(prompt, gen)
             m = eng.metrics
             acc = (f" accept={m.spec_accepted}/{m.spec_proposed}"
                    f" ({m.spec_accepted / max(1, m.spec_proposed):.0%})"
                    if m.spec_proposed else "")
-            print(f"{name:11s} {label:5s}: {len(out) / dt:7.1f} tok/s "
+            print(f"{name:11s} {label:10s}: {len(out) / dt:7.1f} tok/s "
                   f"({len(out)} tokens in {dt:.2f}s){acc}", flush=True)
+
+    # acceptance-vs-k sweep (greedy, repetitive prompt = best case)
+    for kk in (3, 5, 7):
+        gen = GenerationConfig(temperature=0.0, max_new_tokens=n_tokens,
+                               speculative_k=kk)
+        out, dt = timed(prompts["repetitive"], gen)
+        m = eng.metrics
+        print(f"k={kk}: {len(out) / dt:7.1f} tok/s accept="
+              f"{m.spec_accepted}/{m.spec_proposed} "
+              f"({m.spec_accepted / max(1, m.spec_proposed):.0%})",
+              flush=True)
 
     # batched speculation: B greedy streams sharing one scheduler
     from lmrs_tpu.serve.scheduler import BatchScheduler

@@ -71,6 +71,38 @@ def test_backend_protocol(artifacts):
     assert isinstance(pieces, list)
 
 
+def test_backend_background_warmup_serves_immediately(artifacts):
+    """warmup(background=True) must return without blocking and traffic
+    sent right away must complete (compiling its own programs on demand)
+    while the bucket sweep finishes on the daemon thread."""
+    import time
+
+    from lmrs_tpu.serve.backend import BackendServer
+
+    model_path, tok_path = artifacts
+    server = BackendServer(model_path, tok_path, temperature=0.0)
+    t0 = time.time()
+    server.warmup(background=True)
+    assert time.time() - t0 < 5.0, "background warmup blocked the caller"
+    assert server._warmup_thread is not None
+
+    async def run():
+        import websockets
+
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as ws_srv:
+            port = list(ws_srv.sockets)[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                await ws.send(json.dumps({"text": "hi"}))
+                while True:
+                    msg = json.loads(await asyncio.wait_for(ws.recv(), 120))
+                    if msg["category"] == "OUTPUT" and msg["text"] == "<eos>":
+                        return True
+
+    assert asyncio.run(run())
+    server._warmup_thread.join(timeout=300)
+    assert not server._warmup_thread.is_alive(), "warmup never finished"
+
+
 def test_backend_bad_json_ignored(artifacts):
     from lmrs_tpu.serve.backend import BackendServer
 
