@@ -210,6 +210,31 @@ def test_paged_speculative(model):
     assert len(sched._free_pages) == sched.n_pages - 1
 
 
+def test_paged_speculative_sampled_slots(model):
+    """Sampled (rejection-sampling) slots ride the paged spec chunk too:
+    a mixed greedy+sampled batch over the pool keeps the greedy slot
+    token-exact vs the contiguous spec scheduler, the sampled slot fills
+    its budget, and pages recycle on finish."""
+    cfg, params = model
+
+    def run(paged):
+        sched = _sched(cfg, params, paged=paged, speculative_k=3, seed=9)
+        done = {}
+        sched.submit([5, 9, 5, 9, 5], max_new_tokens=N_NEW,
+                     on_done=lambda o: done.setdefault("g", o))
+        sched.submit([2, 4, 8], max_new_tokens=N_NEW, temperature=0.9,
+                     top_p=0.8, on_done=lambda o: done.setdefault("s", o))
+        sched.run()
+        return done, sched
+
+    want, _ = run(paged=False)
+    got, sched = run(paged=True)
+    assert got["g"] == want["g"], (got["g"], want["g"])
+    assert len(got["s"]) == N_NEW
+    assert sched.spec_proposed > 0
+    assert len(sched._free_pages) == sched.n_pages - 1
+
+
 def test_paged_prefix_fork(model):
     """Paged prefix cache: full prefix pages are SHARED (refcounted,
     read-only), only the partial boundary page is copied; forked prompts

@@ -172,6 +172,49 @@ def test_spec_sampled_end_to_end_deterministic(tiny_engine):
     assert eng.metrics.spec_proposed > 0, "speculative path unused"
 
 
+def test_spec_sampled_mesh_engine():
+    """Sampled speculation on a tp mesh: the PRNG key rides replicated and
+    the logits are all_gathered, so every shard draws identical
+    accept/resample decisions — reproducible per seed, and the degenerate
+    nucleus (top_p=1e-6) equals greedy exactly like the single-device
+    path."""
+    import jax
+
+    from lmrs_tpu.parallel.sharding import make_mesh
+    from lmrs_tpu.parallel.tp import build_tp_params_stacked
+    from lmrs_tpu.runtime import Engine, GenerationConfig
+    from test_tp import _quantized_tensors
+
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, dim=64,
+                      hidden_dim=128, n_layers=2, n_heads=8, head_dim=16,
+                      n_kv_heads=4, vocab_size=512, seq_len=128,
+                      group_size=16, matmul_impl="fast")
+    weights = random_weights(cfg, seed=7)
+    mesh = make_mesh(tp=4, dp=1, devices=jax.devices()[:4])
+    tp_params, spec = build_tp_params_stacked(
+        cfg, _quantized_tensors(cfg, weights), mesh)
+    eng = Engine(cfg, tp_params, cache_dtype=jnp.float32,
+                 min_attn_bucket=32, prefill_chunk=8, decode_chunk=4,
+                 mesh=mesh, param_spec=spec)
+    prompt = [5, 9, 11, 5, 9, 11, 5, 9]
+    outs = []
+    for seed in (3, 3):
+        eng.reset()
+        outs.append(eng.generate(prompt, GenerationConfig(
+            temperature=0.8, top_p=0.9, seed=seed, max_new_tokens=16,
+            speculative_k=3)))
+    assert outs[0] == outs[1], "mesh sampled spec not reproducible"
+    assert eng.metrics.spec_proposed > 0
+    eng.reset()
+    want = eng.generate(prompt, GenerationConfig(temperature=0.0,
+                                                 max_new_tokens=16))
+    eng.reset()
+    got = eng.generate(prompt, GenerationConfig(
+        temperature=1.5, top_p=1e-6, seed=5, max_new_tokens=16,
+        speculative_k=3))
+    assert got == want
+
+
 def test_spec_sampled_degenerate_nucleus_equals_greedy(tiny_engine):
     """top_p=1e-6 truncates the nucleus to exactly the argmax token, so
     the SAMPLED speculative stream must equal the greedy stream token for
