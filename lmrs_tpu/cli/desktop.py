@@ -130,6 +130,8 @@ def main(argv=None):
                    default=None)
     p.add_argument("--page-size", dest="page_size", type=int, default=512)
     p.add_argument("--no-warmup", dest="no_warmup", action="store_true")
+    p.add_argument("--background-warmup", dest="background_warmup",
+                   action="store_true")
     args = p.parse_args(argv)
 
     from lmrs_tpu.serve.backend import BackendServer
@@ -142,7 +144,7 @@ def main(argv=None):
                            pool_tokens=args.pool_tokens,
                            page_size=args.page_size)
     if not args.no_warmup:
-        server.warmup()
+        server.warmup(background=args.background_warmup)
 
     _PageHandler.ws_port = args.ws_port
     httpd = ThreadingHTTPServer((args.ip, args.port), _PageHandler)
