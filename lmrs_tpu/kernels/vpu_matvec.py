@@ -138,44 +138,90 @@ def kmajor_params(params, o_tile: Optional[int] = None, donate: bool = True):
 
 # ---------------------------------------------------------------- kernels
 
-def _vm_q8_kernel(l_ref, xg_ref, w_ref, s_ref, o_ref, *, gs: int):
+# Per-group reduction strategy inside the T=1 kernels:
+#   reshape (default) — (c·rows, O_T) → (c, rows, O_T), sublane-reduce
+#   dot               — fold-matrix (c, c·rows) @ product on the MXU
+# (the product tensor is activation-sized, so the dot is not weight-bound)
+_VM_REDUCE = os.environ.get("LMRS_VM_REDUCE", "reshape")
+# Groups per unrolled chunk, sized in f32 temporary ELEMENTS.  The
+# original kernels unrolled a Python loop PER GROUP (112 iterations on
+# gemma-9b's w2) which made Mosaic build each decode program's kernels in
+# minutes server-side — the chunked form is the same math on c groups at
+# a time.  Measured on gemma-9b Q4 (results_r5/bench_9b_q4_chunked*.log):
+# warmup 1747 s (per-group) → 140 s (1M) → 133 s (4M default), decode
+# 64.19 → 63.68 → 63.89 tok/s — 13× faster cold start for ~0.5% decode.
+# 4M f32 ≈ 16 MB per temporary; gemma-9b's largest matvec runs as one
+# chunk well inside the 100 MB VMEM budget.
+_VM_CHUNK_ELEMS = int(os.environ.get("LMRS_VM_CHUNK_ELEMS", str(1 << 22)))
+
+
+def _group_chunks(n_g: int, rows: int, o_t: int):
+    c = max(1, _VM_CHUNK_ELEMS // (rows * o_t))
+    if c > 8:
+        c -= c % 8                       # keep sublane slice offsets aligned
+    out, g0 = [], 0
+    while g0 < n_g:
+        out.append((g0, min(c, n_g - g0)))
+        g0 += c
+    return out
+
+
+def _reduce_groups(t, c: int, rows: int, o_t: int):
+    """(c·rows, O_T) elementwise product → per-group sums (c, O_T)."""
+    if _VM_REDUCE == "dot" and c > 1:
+        fold = jnp.asarray(np.kron(np.eye(c, dtype=np.float32),
+                                   np.ones((1, rows), np.float32)))
+        return jax.lax.dot_general(
+            fold, t, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return jnp.sum(t.reshape(c, rows, o_t), axis=1)
+
+
+def _vm_q8_kernel(l_ref, xcol_ref, w_ref, s_ref, o_ref, *, gs: int):
     """T=1 int8 VPU matvec: y[1, O_T] = sum_g s[g, :] * sum_k w[k, :]*x[k].
 
-    xg_ref is (gs, G) — column g holds group g's activations, so the
-    per-group factor is a narrow lane window broadcast along lanes and the
-    reduction runs down sublanes.  ~3 VPU ops/value (convert, mul, fma):
-    HBM-bound at int8's 1 byte/value (797 G values/s measured)."""
+    xcol_ref is (K, 1) — the activation broadcast runs along lanes and the
+    per-group reduction down sublanes, c groups per unrolled chunk.
+    ~3 VPU ops/value (convert, mul, fma): HBM-bound at int8's
+    1 byte/value (797 G values/s measured)."""
     kb = w_ref.shape[2]
     n_g = kb // gs
+    o_t = o_ref.shape[1]
     acc = jnp.zeros(o_ref.shape, jnp.float32)
-    for g in range(n_g):
-        wg = w_ref[0, 0, g * gs:(g + 1) * gs, :].astype(jnp.float32)
-        part = jnp.sum(wg * xg_ref[:, g:g + 1], axis=0, keepdims=True)
-        acc = acc + s_ref[0, 0, g:g + 1, :] * part
+    for g0, c in _group_chunks(n_g, gs, o_t):
+        r0, r1 = g0 * gs, (g0 + c) * gs
+        wg = w_ref[0, 0, r0:r1, :].astype(jnp.float32)
+        part = _reduce_groups(wg * xcol_ref[r0:r1, :], c, gs, o_t)
+        acc = acc + jnp.sum(s_ref[0, 0, g0:g0 + c, :] * part,
+                            axis=0, keepdims=True)
     o_ref[:] = acc
 
 
-def _vm_q4_kernel(l_ref, xl_ref, xh_ref, corr_ref, w_ref, s_ref,
+def _vm_q4_kernel(l_ref, xlf_ref, xhf_ref, corr_ref, w_ref, s_ref,
                   o_ref, *, gs: int):
     """T=1 packed-Q4 VPU matvec on XOR-0x80 biased bytes (quant.unpack_q4):
     the int8 view of a stored byte reads exactly u-128, so with
     u = 16*hi + lo:  h0 = floor(vf/16) = hi-8,  lo = vf-16*h0 in [0,15],
     and (lo-8)*xl + (hi-8)*xh = lo*xl + h0*xh - 8*sum(xl)  — the last term
-    is weight-independent per group (corr).  ~3.5 VPU ops/value:
-    VPU-compute-bound at 1083 G values/s measured (0.5 byte/value leaves
-    HBM half idle — the ceiling is the VPU's ~3.85 T ops/s)."""
+    is weight-independent per group (corr).  xlf/xhf are (K/2, 1) columns
+    in packed-row order (row g·half+j ↦ x[g·gs+j] / x[g·gs+half+j]), corr
+    is (G, 1).  ~3.5 VPU ops/value: VPU-compute-bound (0.5 byte/value
+    leaves HBM half idle — the ceiling is the VPU's ~3.85 T ops/s)."""
     half = gs // 2
     kb = w_ref.shape[2]
     n_g = (2 * kb) // gs
+    o_t = o_ref.shape[1]
     acc = jnp.zeros(o_ref.shape, jnp.float32)
     vfull = pltpu.bitcast(w_ref[0, 0], jnp.int8)
-    for g in range(n_g):
-        vf = vfull[g * half:(g + 1) * half, :].astype(jnp.float32)
+    for g0, c in _group_chunks(n_g, half, o_t):
+        r0, r1 = g0 * half, (g0 + c) * half
+        vf = vfull[r0:r1, :].astype(jnp.float32)
         h0 = jnp.floor(vf * 0.0625)
         lo = vf - 16.0 * h0
-        part = jnp.sum(lo * xl_ref[:, g:g + 1] + h0 * xh_ref[:, g:g + 1],
-                       axis=0, keepdims=True)
-        acc = acc + s_ref[0, 0, g:g + 1, :] * (part + corr_ref[0, g])
+        t = lo * xlf_ref[r0:r1, :] + h0 * xhf_ref[r0:r1, :]
+        part = _reduce_groups(t, c, half, o_t) + corr_ref[g0:g0 + c, :]
+        acc = acc + jnp.sum(s_ref[0, 0, g0:g0 + c, :] * part,
+                            axis=0, keepdims=True)
     o_ref[:] = acc
 
 
@@ -280,17 +326,17 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
     vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     if t == 1:
-        xg = x2.reshape(g_tot, gs).T.astype(jnp.float32)   # (gs, G)
         if q4:
             half = gs // 2
-            xl = xg[:half]                                 # (half, G)
-            xh = xg[half:]
-            corr = (-8.0 * jnp.sum(xl, axis=0)).reshape(1, g_tot)
+            xg2 = x2.reshape(g_tot, gs).astype(jnp.float32)
+            xlf = xg2[:, :half].reshape(n // 2, 1)         # packed-row order
+            xhf = xg2[:, half:].reshape(n // 2, 1)
+            corr = (-8.0 * jnp.sum(xg2[:, :half], axis=1)).reshape(g_tot, 1)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(n_o,),
-                in_specs=[_const_spec((half, g_tot)),
-                          _const_spec((half, g_tot)),
-                          _const_spec((1, g_tot)),
+                in_specs=[_const_spec((n // 2, 1)),
+                          _const_spec((n // 2, 1)),
+                          _const_spec((g_tot, 1)),
                           _w_spec(w.q.shape),
                           _w_spec(w.s.shape)],
                 out_specs=pl.BlockSpec((1, o_t), lambda i, l: (0, i),
@@ -300,11 +346,12 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((1, o), jnp.float32),
                 compiler_params=vmem, interpret=interpret,
-            )(l_arr, xl, xh, corr, w.q, w.s)
+            )(l_arr, xlf, xhf, corr, w.q, w.s)
         else:
+            xcol = x2.reshape(n, 1).astype(jnp.float32)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(n_o,),
-                in_specs=[_const_spec((gs, g_tot)),
+                in_specs=[_const_spec((n, 1)),
                           _w_spec(w.q.shape),
                           _w_spec(w.s.shape)],
                 out_specs=pl.BlockSpec((1, o_t), lambda i, l: (0, i),
@@ -314,7 +361,7 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((1, o), jnp.float32),
                 compiler_params=vmem, interpret=interpret,
-            )(l_arr, xg, w.q, w.s)
+            )(l_arr, xcol, w.q, w.s)
         return out.reshape(*lead, o)
 
     if t <= 8:
