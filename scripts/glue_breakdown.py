@@ -79,7 +79,7 @@ def run_variant(variant: str):
         os.replace(path + ".tmp", path)
     f = read_lmrs(path)
     cfg = f.cfg.replace(matmul_impl="fast")
-    params = kmajor_params(params_from_lmrs(f))
+    params = kmajor_params(params_from_lmrs(f, fuse_qkv=True))
     eng = Engine(cfg, params, cache_dtype=jnp.bfloat16, decode_chunk=32)
     rng = np.random.default_rng(0)
     prompt = list(rng.integers(3, cfg.vocab_size - 1, size=1024))

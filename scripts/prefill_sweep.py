@@ -51,7 +51,7 @@ def main():
         os.replace(path + ".tmp", path)
     f = read_lmrs(path)
     cfg = f.cfg.replace(matmul_impl="fast")
-    params = kmajor_params(params_from_lmrs(f))
+    params = kmajor_params(params_from_lmrs(f, fuse_qkv=True))
 
     # per-token matmul FLOPs (layers only; classifier amortized per chunk)
     d, hid = cfg.dim, cfg.hidden_dim

@@ -46,7 +46,7 @@ def main():
         os.replace(path + ".tmp", path)
     f = read_lmrs(path)
     cfg = f.cfg.replace(matmul_impl="fast")
-    params = params_from_lmrs(f)
+    params = params_from_lmrs(f, fuse_qkv=True)
     from lmrs_tpu.kernels.vpu_matvec import kmajor_params
     params = kmajor_params(params)   # the production decode layout
     eng = Engine(cfg, params, cache_dtype=jnp.bfloat16, decode_chunk=32)
