@@ -57,10 +57,27 @@ from lmrs_tpu.quant import QTensor, QuantType, quantize_q8_act
 _VM_OTILE = int(os.environ.get("LMRS_VM_OTILE", "512"))
 
 
+def kmajor_o_shape(out_features: int,
+                   o_tile: Optional[int] = None) -> tuple:
+    """(o_t, o_pad): tile width + padded O for the K-major layout — shared
+    with runtime.precompile so AOT shape trees match the runtime layout.
+
+    Mosaic requires a (.., o_t) output block's lane dim to be a multiple
+    of 128 or the whole array; when O has no 128-aligned divisor <= target
+    (Phi's vocab 32064) the layout pads O with zero-scale rows to the next
+    tile multiple (32064 -> 63x512 + 192 dead rows, 0.6% extra work) and
+    qmatmul_kmajor slices them back off."""
+    target = o_tile or _VM_OTILE
+    t = _pick_o_tile(out_features, target)
+    if t == out_features or t % 128 == 0:
+        return t, out_features
+    t = max(128, target - target % 128)
+    return t, -(-out_features // t) * t
+
+
 def kmajor_o_tile(out_features: int, o_tile: Optional[int] = None) -> int:
-    """The output-tile width to_kmajor uses for a given O — shared with
-    runtime.precompile so AOT shape trees match the runtime layout."""
-    return _pick_o_tile(out_features, o_tile or _VM_OTILE)
+    """The output-tile width to_kmajor uses for a given O."""
+    return kmajor_o_shape(out_features, o_tile)[0]
 
 
 # ---------------------------------------------------------------- repack
@@ -91,7 +108,11 @@ def to_kmajor(qt: QTensor, o_tile: Optional[int] = None,
     if q.ndim == 2:
         q, s = q[None], s[None]
     assert q.ndim == 3, q.shape
-    o_t = kmajor_o_tile(qt.out_features, o_tile)
+    o_t, o_pad = kmajor_o_shape(qt.out_features, o_tile)
+    if o_pad != qt.out_features:
+        pad = ((0, 0), (0, o_pad - qt.out_features), (0, 0))
+        q = jnp.pad(q, pad)
+        s = jnp.pad(s, pad)     # zero scales: dead rows contribute 0
     rp = _repack_donate if donate else _repack
     return QTensor(rp(q, o_t), rp(s, o_t), qt.qtype, qt.group_size,
                    qt.out_features, qt.in_features, kmajor=True)
@@ -103,8 +124,12 @@ def kmajor_to_dense(qt: QTensor) -> jax.Array:
     from lmrs_tpu.quant import unpack_q4
 
     L, n_o, kb, o_t = qt.q.shape
-    q2 = qt.q.transpose(0, 1, 3, 2).reshape(L, qt.out_features, kb)
-    s2 = qt.s.transpose(0, 1, 3, 2).reshape(L, qt.out_features, -1)
+    o_pad = n_o * o_t
+    q2 = qt.q.transpose(0, 1, 3, 2).reshape(L, o_pad, kb)
+    s2 = qt.s.transpose(0, 1, 3, 2).reshape(L, o_pad, -1)
+    if o_pad != qt.out_features:
+        q2 = q2[:, :qt.out_features]
+        s2 = s2[:, :qt.out_features]
     if qt.qtype == QuantType.Q4_0:
         vals = unpack_q4(q2, qt.group_size).astype(jnp.float32)
     else:
@@ -317,6 +342,7 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
     assert n == w.in_features, (x.shape, w.logical_shape)
     L, n_o, kb, o_t = w.q.shape
     o = w.out_features
+    o_pad = n_o * o_t       # > o when the layout padded O (kmajor_o_shape)
     gs = w.group_size
     g_tot = n // gs
     x2 = x.reshape(-1, n)
@@ -344,7 +370,7 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
             out = pl.pallas_call(
                 _cached_partial(_vm_q4_kernel, gs=gs),
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((1, o), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((1, o_pad), jnp.float32),
                 compiler_params=vmem, interpret=interpret,
             )(l_arr, xlf, xhf, corr, w.q, w.s)
         else:
@@ -359,10 +385,10 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
             out = pl.pallas_call(
                 _cached_partial(_vm_q8_kernel, gs=gs),
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((1, o), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((1, o_pad), jnp.float32),
                 compiler_params=vmem, interpret=interpret,
             )(l_arr, xcol, w.q, w.s)
-        return out.reshape(*lead, o)
+        return out[:, :o].reshape(*lead, o)
 
     if t <= 8:
         t_pad = 8
@@ -389,7 +415,7 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
             out = pl.pallas_call(
                 _cached_partial(_xe_q4_km_kernel, t=t),
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((t_pad, o), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((t_pad, o_pad), jnp.float32),
                 compiler_params=vmem, interpret=interpret,
             )(l_arr, xel.astype(jnp.float32), xeh.astype(jnp.float32),
               corr, w.q, w.s, mt)
@@ -410,10 +436,10 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
             out = pl.pallas_call(
                 _cached_partial(_xe_i8_km_kernel, t=t),
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((t_pad, o), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((t_pad, o_pad), jnp.float32),
                 compiler_params=vmem, interpret=interpret,
             )(l_arr, xe, xs_col, w.q, w.s, mt)
-        return out[:t].reshape(*lead, o)
+        return out[:t, :o].reshape(*lead, o)
 
     if t <= 512:
         t_pad = max(8, 1 << (t - 1).bit_length())
@@ -439,7 +465,7 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
             out = pl.pallas_call(
                 _se_q4_km_kernel,
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((t_pad, o), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((t_pad, o_pad), jnp.float32),
                 compiler_params=vmem, interpret=interpret,
             )(l_arr, x_lo, x_hi, w.q, w.s, eth)
         else:
@@ -456,10 +482,10 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
             out = pl.pallas_call(
                 _se_q8_km_kernel,
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((t_pad, o), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((t_pad, o_pad), jnp.float32),
                 compiler_params=vmem, interpret=interpret,
             )(l_arr, x2b, w.q, w.s, et)
-        return out[:t].reshape(*lead, o)
+        return out[:t, :o].reshape(*lead, o)
 
     # T > 512 (vision-sized activations never reach the K-major layout;
     # this covers oversized user prefill chunks): dense XLA dot on the

@@ -328,7 +328,9 @@ class Engine:
         self.cache_dtype = cache_dtype
         self.mesh = mesh
         self.min_attn_bucket = min(min_attn_bucket, cfg.seq_len)
-        self.prefill_chunk = prefill_chunk
+        # a chunk longer than the context would slice past the rope tables
+        # (small-seq_len models under the serving default of 256)
+        self.prefill_chunk = min(prefill_chunk, cfg.seq_len)
         self.decode_chunk = decode_chunk
         self.pos = 0
         self.metrics = StepMetrics()

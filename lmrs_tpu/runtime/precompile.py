@@ -37,11 +37,11 @@ def _qt_sds(cfg: ModelConfig, out_f: int, in_f: int,
     layout (packed Q4 bytes are uint8 after the device repack; Q8 int8).
     kmajor mirrors kernels.vpu_matvec.to_kmajor's tiled layout."""
     if kmajor and cfg.quant != QuantType.NONE:
-        from lmrs_tpu.kernels.vpu_matvec import kmajor_o_tile
+        from lmrs_tpu.kernels.vpu_matvec import kmajor_o_shape
 
         L = cfg.n_layers if stacked else 1
-        o_t = kmajor_o_tile(out_f)
-        n_o = out_f // o_t
+        o_t, o_pad = kmajor_o_shape(out_f)
+        n_o = o_pad // o_t
         kb = in_f // 2 if cfg.quant == QuantType.Q4_0 else in_f
         dt = jnp.uint8 if cfg.quant == QuantType.Q4_0 else jnp.int8
         return QTensor(_sds((L, n_o, kb, o_t), dt),

@@ -108,6 +108,42 @@ def test_kmajor_o_tile_divides():
         assert o % ot == 0 and ot >= 128
 
 
+def test_kmajor_o_shape_mosaic_legal():
+    """Every tile is Mosaic-legal for a (.., o_t) output block: a multiple
+    of 128 or the whole O.  O with no 128-aligned divisor (Phi's vocab
+    32064) pads to the next tile multiple."""
+    from lmrs_tpu.kernels.vpu_matvec import kmajor_o_shape
+
+    for o in (64, 256, 3072, 3584, 9216, 32064, 128256, 256000):
+        ot, op = kmajor_o_shape(o)
+        assert ot % 128 == 0 or ot == op == o, (o, ot, op)
+        assert op % ot == 0 and op >= o and op - o < ot, (o, ot, op)
+    assert kmajor_o_shape(32064) == (512, 32256)       # phi vocab
+    assert kmajor_o_shape(128256) == (384, 128256)     # llama vocab: exact
+
+
+@pytest.mark.parametrize("qtype", [QuantType.Q8_0, QuantType.Q4_0])
+@pytest.mark.parametrize("t", [1, 3, 17])
+def test_kmajor_padded_o_matches_dequant(qtype, t):
+    """O=672 has no 128-aligned divisor <= 512: the layout pads to
+    2x512 dead rows and the dispatch slices them off — numerics must
+    match the dense reference exactly as in the aligned case."""
+    from lmrs_tpu.kernels.vpu_matvec import kmajor_o_shape
+
+    o, n, gs = 672, 512, 64
+    assert kmajor_o_shape(o) == (512, 1024)
+    qt, dense = _mk(o, n, qtype, gs)
+    km = to_kmajor(qt)
+    assert km.q.shape[1] * km.q.shape[3] == 1024 and km.out_features == o
+    back = np.asarray(kmajor_to_dense(km))
+    np.testing.assert_allclose(back, dense, rtol=1e-6, atol=1e-6)
+    x = RNG.normal(0, 1, (t, n)).astype(np.float32)
+    got = np.asarray(qmatmul_kmajor(jnp.asarray(x), km, 0, interpret=True))
+    assert got.shape == (t, o)
+    want = x @ dense[0].T
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=0.01 * np.sqrt(n))
+
+
 @pytest.mark.parametrize("qtype", [QuantType.Q8_0, QuantType.Q4_0])
 def test_kmajor_embed_gather(qtype):
     """models.transformer.embed_tokens on a K-major table returns the same
