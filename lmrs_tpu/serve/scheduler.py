@@ -143,6 +143,14 @@ class BatchScheduler:
             raise ValueError("the batched int4 KV cache is paged-only "
                              "(pass pool_tokens=...); use int8 for the "
                              "contiguous batched cache")
+        lw = params.layers if not isinstance(params.layers, (list, tuple)) \
+            else params.layers[0]
+        if getattr(getattr(lw, "wqkv", None), "kmajor", False):
+            raise ValueError(
+                "BatchScheduler needs ROW-major params: the K-major "
+                "layout is the single-stream decode path (T=B batched "
+                "steps run the stacked xe kernels) — build params "
+                "without kernels.vpu_matvec.kmajor_params")
         # paged mode: the KV cache is a SHARED page pool + per-slot page
         # tables instead of a preallocated (B, L, S, ...) block — memory
         # is sum-of-contexts (pool_tokens rows), not B x max-context.

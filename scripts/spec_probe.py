@@ -46,9 +46,11 @@ def main():
         os.replace(path + ".tmp", path)
     f = read_lmrs(path)
     cfg = f.cfg.replace(matmul_impl="fast")
-    params = params_from_lmrs(f, fuse_qkv=True)
+    params_row = params_from_lmrs(f, fuse_qkv=True)  # batched scheduler
     from lmrs_tpu.kernels.vpu_matvec import kmajor_params
-    params = kmajor_params(params)   # the production decode layout
+    # single-stream production decode layout (donate=False keeps the
+    # row-major copy alive for the batched section below)
+    params = kmajor_params(params_row, donate=False)
     eng = Engine(cfg, params, cache_dtype=jnp.bfloat16, decode_chunk=32)
     print(f"{config_name} {quant_name} k={k} device={jax.devices()[0]}",
           flush=True)
@@ -116,7 +118,7 @@ def main():
 
     B = int(os.environ.get("LMRS_SPEC_BATCH", "4"))
     for label, sk in [("plain", 0), ("spec", k)]:
-        sched = BatchScheduler(cfg, params, max_batch=B, max_ctx=1024,
+        sched = BatchScheduler(cfg, params_row, max_batch=B, max_ctx=1024,
                                cache_dtype=jnp.bfloat16, decode_chunk=16,
                                temperature=0.0, speculative_k=sk)
         done = {}

@@ -588,3 +588,21 @@ def test_warmup_is_state_neutral(model):
                     on_done=lambda o, i=i: done_warm.setdefault(i, o))
     warm.run()
     assert done_warm == done_cold, (done_warm, done_cold)
+
+
+def test_scheduler_rejects_kmajor_params():
+    """The K-major layout is the single-stream decode path; feeding it to
+    the batched scheduler must fail loudly at construction, not deep in
+    the first decode chunk (the layered _localize path would see a 3-d
+    slice of the 4-d tiled tensor)."""
+    from lmrs_tpu.kernels.vpu_matvec import kmajor_params
+
+    cfg = tiny_config(ModelType.GEMMA, QuantType.Q8_0, dim=128,
+                      hidden_dim=256, n_layers=2, vocab_size=512,
+                      group_size=64, seq_len=128).replace(matmul_impl="fast")
+    params = params_from_weights(cfg, random_weights(cfg, seed=0),
+                                 stack_layers=True, fuse_qkv=True)
+    km = kmajor_params(params, donate=False)
+    with pytest.raises(ValueError, match="ROW-major"):
+        BatchScheduler(cfg, km, max_batch=2, max_ctx=64)
+    BatchScheduler(cfg, params, max_batch=2, max_ctx=64)  # row-major fine
