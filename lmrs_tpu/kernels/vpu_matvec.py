@@ -178,6 +178,14 @@ _VM_REDUCE = os.environ.get("LMRS_VM_REDUCE", "reshape")
 # 4M f32 ≈ 16 MB per temporary; gemma-9b's largest matvec runs as one
 # chunk well inside the 100 MB VMEM budget.
 _VM_CHUNK_ELEMS = int(os.environ.get("LMRS_VM_CHUNK_ELEMS", str(1 << 22)))
+# Branch for 2 <= T <= 8 (speculative verify windows, small batched
+# steps): "se" (default) pads T to 8 and runs the s@E scale-expansion
+# kernels — dequant is ~3 VPU ops/value so a T=8 call costs about the
+# same as the T=1 matvec, which is exactly the premise speculation
+# needs; "xe" restores the transposed x-expansion MXU kernels (measured
+# ~2x slower at these T on gemma-2b: the round-5 spec_probe showed
+# k=3 speculation LOSING at 33% acceptance, 160 vs 205 tok/s plain).
+_VM_SMALL_T = os.environ.get("LMRS_VM_SMALL_T", "se")
 
 
 def _group_chunks(n_g: int, rows: int, o_t: int):
@@ -390,7 +398,7 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
             )(l_arr, xcol, w.q, w.s)
         return out[:, :o].reshape(*lead, o)
 
-    if t <= 8:
+    if t <= 8 and _VM_SMALL_T == "xe":
         t_pad = 8
         mt = jnp.asarray(_fold_matrix(t, g_tot, t_pad).T.copy())
         if q4:
