@@ -179,13 +179,16 @@ _VM_REDUCE = os.environ.get("LMRS_VM_REDUCE", "reshape")
 # chunk well inside the 100 MB VMEM budget.
 _VM_CHUNK_ELEMS = int(os.environ.get("LMRS_VM_CHUNK_ELEMS", str(1 << 22)))
 # Branch for 2 <= T <= 8 (speculative verify windows, small batched
-# steps): "se" (default) pads T to 8 and runs the s@E scale-expansion
-# kernels — dequant is ~3 VPU ops/value so a T=8 call costs about the
-# same as the T=1 matvec, which is exactly the premise speculation
-# needs; "xe" restores the transposed x-expansion MXU kernels (measured
-# ~2x slower at these T on gemma-2b: the round-5 spec_probe showed
-# k=3 speculation LOSING at 33% acceptance, 160 vs 205 tok/s plain).
-_VM_SMALL_T = os.environ.get("LMRS_VM_SMALL_T", "se")
+# steps): "xe" (default) runs the transposed x-expansion MXU kernels,
+# "se" pads T to 8 and runs the s@E scale-expansion kernels.  A/B on
+# chip (results_r5/spec_probe2.log vs spec_probe_se.log, gemma-2b Q8
+# k=3 speculation): xe 160.3 tok/s vs se 129.5 — the s@E full-weight
+# dequant does NOT amortize at T<=8, so xe stays the default.  Either
+# way the T=k+1 verify forward costs ~2.9x the T=1 VPU matvec step
+# (plain 205 tok/s = 4.9 ms/step vs spec steps ~14 ms), which is why
+# 30% acceptance still nets a loss single-stream — see
+# results_r5/smallt_*.log for the isolated kernel rates.
+_VM_SMALL_T = os.environ.get("LMRS_VM_SMALL_T", "xe")
 
 
 def _group_chunks(n_g: int, rows: int, o_t: int):
@@ -499,6 +502,19 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
     # this covers oversized user prefill chunks): dense XLA dot on the
     # dequantized layer — weights materialize once through HBM, amortized
     # over thousands of rows.
+    return qmatmul_kmajor_dense(x, w, layer_idx)
+
+
+def qmatmul_kmajor_dense(x: jax.Array, w: QTensor, layer_idx) -> jax.Array:
+    """Pure-XLA y = x @ W[layer]^T on K-major weights: dequantize the
+    layer slice, one bf16 dot.  Serves two roles: qmatmul_kmajor's T>512
+    tail, and the ops.matmul impl="xla" serving fallback — a no-Pallas
+    program hits the persistent compile cache across processes (Mosaic
+    kernel builds are per-process on the axon server), so a fresh server
+    can emit tokens from THIS path while the fast kernels build in the
+    background (runtime.engine fallback_until)."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
     sl = lambda a: jax.lax.dynamic_slice(
         a, (layer_idx,) + (0,) * (a.ndim - 1), (1,) + a.shape[1:])
     wl = QTensor(sl(w.q), sl(w.s), w.qtype, w.group_size, w.out_features,
@@ -506,4 +522,4 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
     wd = kmajor_to_dense(wl)[0].astype(jnp.bfloat16)       # (O, K)
     y = jnp.dot(x2.astype(jnp.bfloat16), wd.T,
                 preferred_element_type=jnp.float32)
-    return y.reshape(*lead, o)
+    return y.reshape(*lead, w.out_features)

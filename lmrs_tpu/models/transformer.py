@@ -568,7 +568,7 @@ def _layer(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
                 scale=cfg.attn_scale,
                 softcap=cfg.attn_logit_softcap,
                 window=cfg.sliding_window,
-                precision="fast" if cfg.matmul_impl == "fast" else "highest",
+                precision="fast" if cfg.matmul_impl != "exact" else "highest",
             )
     if hd_pad:
         att = att[..., : cfg.head_dim]
@@ -721,7 +721,8 @@ def forward(
                                            sin, pos, attn_len,
                                            k_s=k_s, v_s=v_s, sp=sp)
         k_new, v_new, ks_new, vs_new = k_c, v_c, k_s, v_s
-    elif (cfg.matmul_impl == "fast" and params.layers.wqkv is not None
+    elif (cfg.matmul_impl in ("fast", "xla")
+          and params.layers.wqkv is not None
           and (params.layers.wqkv.q.ndim == 3
                or params.layers.wqkv.kmajor)):
         # scan-fast layout: big weights stay OUTSIDE the scan (the stacked
@@ -1096,7 +1097,7 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
             att = attention_batched(
                 q, kl, vl, pos, scale=cfg.attn_scale,
                 softcap=cfg.attn_logit_softcap, window=cfg.sliding_window,
-                precision="fast" if cfg.matmul_impl == "fast"
+                precision="fast" if cfg.matmul_impl != "exact"
                 else "highest")
         else:
             from lmrs_tpu.ops.attention import attention_batched_multi
@@ -1105,7 +1106,7 @@ def _layer_batched(cfg: ModelConfig, x: jax.Array, lw: LayerWeights,
                 q.reshape(n_slots, t_q, cfg.n_heads, cfg.cache_head_dim),
                 kl, vl, pos, scale=cfg.attn_scale,
                 softcap=cfg.attn_logit_softcap, window=cfg.sliding_window,
-                precision="fast" if cfg.matmul_impl == "fast"
+                precision="fast" if cfg.matmul_impl != "exact"
                 else "highest")
             att = att.reshape(b, cfg.n_heads, cfg.cache_head_dim)
     if hd_pad:

@@ -72,11 +72,45 @@ def qmatmul(x: jax.Array, w: QTensor, impl: str = "exact",
     ~1e-7); Q4 and prefill run W4A16/W8A16 (no activation quantization).
     The throughput path.
     """
+    if impl == "xla":
+        # No-Pallas serving fallback: pure-XLA programs hit the
+        # persistent compile cache ACROSS processes, while Mosaic kernel
+        # builds are per-process on the axon server — a fresh server
+        # process serves its first tokens from this path while the fast
+        # kernels build in background (Engine.fallback_until /
+        # serve.backend --background-warmup).  Dequantize-then-dot: same
+        # W[4|8]A16 numerics class as the fast prefill kernels, ~2-3x the
+        # decode HBM traffic (packed read + dequant write/read).
+        if w.qtype == QuantType.NONE:
+            lead = x.shape[:-1]
+            y = jnp.dot(x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16),
+                        w.q.astype(jnp.bfloat16).T,
+                        preferred_element_type=jnp.float32)
+            return y.reshape(*lead, w.out_features)
+        if w.kmajor:
+            from lmrs_tpu.kernels.vpu_matvec import qmatmul_kmajor_dense
+
+            return qmatmul_kmajor_dense(
+                x, w, 0 if layer_idx is None else layer_idx)
+        from lmrs_tpu.quant import dequantize
+
+        wq, ws = w.q, w.s
+        if layer_idx is not None and wq.ndim == 3:
+            sl = lambda a: jax.lax.dynamic_slice(
+                a, (layer_idx,) + (0,) * (a.ndim - 1), (1,) + a.shape[1:])
+            wq, ws = sl(wq)[0], sl(ws)[0]
+        wl = QTensor(wq, ws, w.qtype, w.group_size, w.out_features,
+                     w.in_features)
+        lead = x.shape[:-1]
+        wd = dequantize(wl).astype(jnp.bfloat16)
+        y = jnp.dot(x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16), wd.T,
+                    preferred_element_type=jnp.float32)
+        return y.reshape(*lead, w.out_features)
     if w.kmajor and impl != "fast":
         raise ValueError(
-            "K-major tiled weights only run under matmul_impl='fast' "
-            "(the exact path's bit-parity integer contraction has no "
-            "K-major variant) — keep row-major params for impl="
+            "K-major tiled weights only run under matmul_impl='fast' or "
+            "'xla' (the exact path's bit-parity integer contraction has "
+            "no K-major variant) — keep row-major params for impl="
             f"{impl!r}")
     if impl == "fast" and w.qtype != QuantType.NONE:
         if w.kmajor:

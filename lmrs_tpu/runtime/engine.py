@@ -380,6 +380,35 @@ class Engine:
         # embeds or resumed sessions) — feeds prompt-lookup speculative
         # decoding; host-side, one int per context row
         self._hist = np.full(cfg.seq_len, -1, np.int32)
+        # Serve-before-warmup: when `fallback_until` is set to a
+        # threading.Event that is NOT yet set, steps route through the
+        # pure-XLA impl="xla" programs (no Pallas — they hit the
+        # persistent compile cache across processes, while Mosaic kernel
+        # builds are per-process on the axon server).  The moment the
+        # event is set (backend --background-warmup finishing its sweep)
+        # the NEXT chunk runs the fast kernels — the KV cache layout is
+        # identical, so the stream continues in place.
+        self.fallback_until = None
+        self._fb_fns = None
+
+    # ------------------------------------------------------------------
+    def _use_fallback(self) -> bool:
+        ev = self.fallback_until
+        return (ev is not None and not ev.is_set() and self.mesh is None
+                and self.cfg.matmul_impl == "fast"
+                and self.cache_dtype in (jnp.bfloat16, jnp.float32))
+
+    def _fns(self):
+        """(step, decode_chunk) for the current serving mode — the
+        fast-kernel programs, or the XLA fallback while a background
+        warmup still owns the Mosaic build queue."""
+        if not self._use_fallback():
+            return self._step, self._decode_chunk
+        if self._fb_fns is None:
+            _, step, chunk = _compiled_fns(
+                self.cfg.replace(matmul_impl="xla"))
+            self._fb_fns = (step, chunk)
+        return self._fb_fns
 
     # ------------------------------------------------------------------
     def reset(self):
@@ -496,7 +525,8 @@ class Engine:
             if real < chunk:
                 xt = jnp.pad(xt, ((0, chunk - real),) + ((0, 0),)
                              * (xt.ndim - 1))
-            logits, self.cache = self._step(
+            step_fn, _ = self._fns()
+            logits, self.cache = step_fn(
                 self.params, self.cache, xt, jnp.int32(self.pos),
                 jnp.int32(real - 1), attn_len=attn_all)
             self.pos += real
@@ -517,7 +547,8 @@ class Engine:
         x = tok if self.mesh is not None else self._embed(self.params,
                                                           tokens=tok)
         attn_len = self._attn_bucket(self.pos + 1)
-        logits, self.cache = self._step(
+        step_fn, _ = self._fns()
+        logits, self.cache = step_fn(
             self.params, self.cache, x, jnp.int32(self.pos), jnp.int32(0),
             attn_len=attn_len)
         self.pos += 1
@@ -554,7 +585,10 @@ class Engine:
         # speculation composes with cp: cp_masked_write is row-exact, so a
         # verify window straddling a sequence-shard boundary splits across
         # the owning shards (tests/test_engine_mesh.py spec-on-cp parity)
-        if gen.speculative_k > 0:
+        # (while the XLA fallback serves — background warmup still
+        # building the fast kernels — this generation decodes plain: the
+        # spec chunk is its own Pallas program set)
+        if gen.speculative_k > 0 and not self._use_fallback():
             self._generate_speculative(gen, stop, out, on_token, key)
             self.metrics.decode_tokens += len(out)
             self.metrics.decode_seconds += time.perf_counter() - t_decode0
@@ -597,7 +631,10 @@ class Engine:
                 break
             pos_before = self.pos + dispatched
             attn_len = self._attn_bucket(pos_before + n)
-            toks, self.cache = self._decode_chunk(
+            # per-chunk fn selection: a background warmup finishing
+            # mid-stream switches the NEXT chunk onto the fast kernels
+            _, decode_chunk_fn = self._fns()
+            toks, self.cache = decode_chunk_fn(
                 self.params, self.cache, tok_dev, jnp.int32(pos_before),
                 subkeys[chunk_i], n_steps=n, attn_len=attn_len,
                 temperature=gen.temperature, top_p=gen.top_p)

@@ -211,8 +211,22 @@ class BackendServer:
         only until the (short, single-bucket) paged warmup completes."""
         if background:
             import threading
-            self._warmup_thread = threading.Thread(target=self.warmup,
-                                                   daemon=True)
+
+            # engines created while the sweep runs serve through the
+            # pure-XLA fallback programs (Engine.fallback_until): first
+            # tokens flow in seconds (XLA hits the persistent cache
+            # across processes) and the stream switches to the fast
+            # kernels the moment the sweep finishes
+            self._fb_event = threading.Event()
+
+            def _bg():
+                try:
+                    self.warmup()
+                finally:
+                    self._fb_event.set()   # even on failure: don't pin
+                    #                        connections to the fallback
+
+            self._warmup_thread = threading.Thread(target=_bg, daemon=True)
             self._warmup_thread.start()
             return
         import time
@@ -238,7 +252,11 @@ class BackendServer:
                           mesh=proto.mesh,
                           param_spec=None if proto.mesh is None else
                           self._proto_spec())
-        return Engine(self.cfg, self.params, cache_dtype=self.cache_dtype)
+        eng = Engine(self.cfg, self.params, cache_dtype=self.cache_dtype)
+        # during a --background-warmup sweep, serve through the XLA
+        # fallback programs until the event fires (no-op afterwards)
+        eng.fallback_until = getattr(self, "_fb_event", None)
+        return eng
 
     def _proto_spec(self):
         import jax

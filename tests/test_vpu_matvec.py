@@ -217,3 +217,69 @@ def test_kmajor_engine_end_to_end(qtype):
     assert got == want, (got, want)
     eng_km.reset()
     assert eng_km.generate([1, 5, 9], gen) == got
+
+
+@pytest.mark.parametrize("qtype", [QuantType.Q8_0, QuantType.Q4_0])
+@pytest.mark.parametrize("t", [1, 5])
+def test_qmatmul_xla_impl_matches_dequant(qtype, t):
+    """impl="xla" (the no-Pallas serving fallback) matches the dense
+    reference on K-major AND row-major stacked layouts."""
+    from lmrs_tpu.ops.matmul import qmatmul
+
+    o, n, gs, L = 384, 512, 64, 3
+    qt, dense = _mk(o, n, qtype, gs, layers=L)
+    km = to_kmajor(qt)
+    x = RNG.normal(0, 1, (t, n)).astype(np.float32)
+    for l in range(L):
+        want = x @ dense[l].T
+        got_km = np.asarray(qmatmul(jnp.asarray(x), km, "xla", layer_idx=l))
+        np.testing.assert_allclose(got_km, want, rtol=3e-2,
+                                   atol=0.02 * np.sqrt(n))
+        got_rm = np.asarray(qmatmul(jnp.asarray(x), qt, "xla", layer_idx=l))
+        np.testing.assert_allclose(got_rm, want, rtol=3e-2,
+                                   atol=0.02 * np.sqrt(n))
+
+
+def test_engine_xla_fallback_serves_and_switches():
+    """Engine.fallback_until routes steps through the pure-XLA programs
+    while the event is unset (serve-before-warmup), matches a from-scratch
+    impl="xla" engine token-for-token, and switches to the fast kernels
+    mid-conversation when the event fires without corrupting the stream."""
+    import threading
+
+    from lmrs_tpu.config import ModelType
+    from lmrs_tpu.io.params import params_from_weights
+    from lmrs_tpu.io.synthetic import random_weights, tiny_config
+    from lmrs_tpu.runtime.engine import Engine, GenerationConfig
+
+    cfg = tiny_config(ModelType.LLAMA, QuantType.Q8_0, dim=128,
+                      group_size=64, hidden_dim=256, vocab_size=512
+                      ).replace(matmul_impl="fast")
+    weights = random_weights(cfg, 0)
+    params = kmajor_params(
+        params_from_weights(cfg, weights, stack_layers=True, fuse_qkv=True),
+        donate=False)
+    gen = GenerationConfig(temperature=0.0, max_new_tokens=6)
+
+    # ground truth: an engine whose cfg is natively impl="xla"
+    eng_xla = Engine(cfg.replace(matmul_impl="xla"), params,
+                     min_attn_bucket=32, prefill_chunk=8)
+    want = eng_xla.generate([1, 5, 9], gen)
+
+    ev = threading.Event()
+    eng = Engine(cfg, params, min_attn_bucket=32, prefill_chunk=8)
+    eng.fallback_until = ev
+    assert eng._use_fallback()
+    got = eng.generate([1, 5, 9], gen)
+    assert got == want, (got, want)
+
+    # flip mid-conversation: continue the SAME stream on fast kernels
+    ev.set()
+    assert not eng._use_fallback()
+    more = eng.generate([got[-1]], gen)
+    assert len(more) == 6 and all(0 <= t < 512 for t in more)
+
+    # and the fast-path engine agrees with the fallback greedy stream on
+    # this well-separated model
+    eng_fast = Engine(cfg, params, min_attn_bucket=32, prefill_chunk=8)
+    assert eng_fast.generate([1, 5, 9], gen) == want
