@@ -179,16 +179,18 @@ _VM_REDUCE = os.environ.get("LMRS_VM_REDUCE", "reshape")
 # chunk well inside the 100 MB VMEM budget.
 _VM_CHUNK_ELEMS = int(os.environ.get("LMRS_VM_CHUNK_ELEMS", str(1 << 22)))
 # Branch for 2 <= T <= 8 (speculative verify windows, small batched
-# steps): "xe" (default) runs the transposed x-expansion MXU kernels,
-# "se" pads T to 8 and runs the s@E scale-expansion kernels.  A/B on
-# chip (results_r5/spec_probe2.log vs spec_probe_se.log, gemma-2b Q8
-# k=3 speculation): xe 160.3 tok/s vs se 129.5 — the s@E full-weight
-# dequant does NOT amortize at T<=8, so xe stays the default.  Either
-# way the T=k+1 verify forward costs ~2.9x the T=1 VPU matvec step
-# (plain 205 tok/s = 4.9 ms/step vs spec steps ~14 ms), which is why
-# 30% acceptance still nets a loss single-stream — see
-# results_r5/smallt_*.log for the isolated kernel rates.
-_VM_SMALL_T = os.environ.get("LMRS_VM_SMALL_T", "xe")
+# steps).  The xe kernels' integer dot computes the FULL (T*G, O_T)
+# product of which only the block-diagonal G-th is useful — G-fold
+# redundant MXU work — while the s@E kernels dequantize (VPU) and run a
+# non-redundant bf16 dot at the MXU weight-load wall.  Measured at T=8
+# on the gemma-9b Q8 shapes (results_r5/probe_smallt8_{xe,se}.log,
+# us/call xe vs se): wqkv[G=28] 58.6/55.2, wo[G=32] 34.6/28.9,
+# w13[G=28] 175.6/183.6, w2[G=112] 345.7/100.3 — xe wins below G~32,
+# se wins big beyond it, exactly as the redundancy model predicts.
+#   "auto" (default): se when G = K/gs > 48, else xe (per tensor)
+#   "xe" / "se": force one branch (A/B knob)
+_VM_SMALL_T = os.environ.get("LMRS_VM_SMALL_T", "auto")
+_VM_SE_MIN_G = int(os.environ.get("LMRS_VM_SE_MIN_G", "48"))
 
 
 def _group_chunks(n_g: int, rows: int, o_t: int):
@@ -401,7 +403,9 @@ def qmatmul_kmajor(x: jax.Array, w: QTensor, layer_idx, *,
             )(l_arr, xcol, w.q, w.s)
         return out[:, :o].reshape(*lead, o)
 
-    if t <= 8 and _VM_SMALL_T == "xe":
+    use_xe = (_VM_SMALL_T == "xe"
+              or (_VM_SMALL_T == "auto" and g_tot <= _VM_SE_MIN_G))
+    if t <= 8 and use_xe:
         t_pad = 8
         mt = jnp.asarray(_fold_matrix(t, g_tot, t_pad).T.copy())
         if q4:

@@ -26,9 +26,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-N_CHAIN = 8
 R = 4
 PEAK = 197e12
+# chain length is sized PER SHAPE so one program call does ~30 ms of
+# work: at small T a single matmul is tens of µs, far below the tunnel's
+# per-dispatch noise, and the first committed run of this probe measured
+# NEGATIVE deltas (results_r5/smallt_*.log first runs)
+TARGET_S = 0.03
 
 
 if __name__ == "__main__":
@@ -50,7 +54,7 @@ if __name__ == "__main__":
               ("w2", d, hid)]
     rng = np.random.default_rng(0)
     print(f"== prefill kernel wall t_q={t_q} {quant_name} "
-          f"chain={N_CHAIN} dev={jax.devices()}", flush=True)
+          f"dev={jax.devices()}", flush=True)
 
     total_dt = 0.0
     total_flop = 0.0
@@ -69,6 +73,9 @@ if __name__ == "__main__":
                          QuantType.Q8_0, gs, o, n)
         km = to_kmajor(qt)
         x = jnp.asarray(rng.normal(0, 1, (t_q, n)).astype(jnp.float32))
+        # size the in-program chain so one call ~ TARGET_S of real work
+        # (assume ~400 G values/s to estimate)
+        n_chain = int(max(8, min(4096, TARGET_S / (o * n / 400e9))))
 
         @jax.jit
         def prog(km, x):
@@ -79,28 +86,33 @@ if __name__ == "__main__":
                 # (results_r5/timing_cache_note.md)
                 return x * (1.0 + 1e-6 * jnp.tanh(jnp.mean(y))), None
 
-            x, _ = jax.lax.scan(body, x, length=N_CHAIN)
+            x, _ = jax.lax.scan(body, x, length=n_chain)
             return x
 
         y = prog(km, x)
         np.asarray(y)                   # compile + settle (host fetch)
+        np.asarray(prog(km, y))         # second warm from fresh values
 
-        def run(reps):
+        def run(reps, z):
             t0 = time.perf_counter()
-            z = x
             for _ in range(reps):
                 z = prog(km, z)
             np.asarray(z)
-            return time.perf_counter() - t0
+            return time.perf_counter() - t0, z
 
-        t1 = run(1)
-        tm = run(1 + R)
-        dt = (tm - t1) / (R * N_CHAIN)
+        deltas = []
+        z = x * 1.0000013
+        for _ in range(3):
+            t1, z = run(1, z)
+            tm, z = run(1 + R, z)
+            deltas.append((tm - t1) / (R * n_chain))
+        dt = sorted(deltas)[1]
         flop = 2.0 * o * n * t_q
         total_dt += dt
         total_flop += flop
         print(json.dumps({
-            "shape": name, "o": o, "n": n, "t_q": t_q,
+            "shape": name, "o": o, "n": n, "t_q": t_q, "n_chain": n_chain,
+            "deltas_us": [round(d * 1e6, 1) for d in deltas],
             "us_per_call": round(dt * 1e6, 1),
             "tflop_s": round(flop / dt / 1e12, 1),
             "mfu_pct": round(100 * flop / dt / PEAK, 1)}), flush=True)
