@@ -466,6 +466,15 @@ class Engine:
         self.reset()
 
     def _attn_bucket(self, needed: int) -> int:
+        if self._use_fallback():
+            # the XLA fallback keeps REAL pow-2 rungs: its einsum
+            # attention has no live-block clamp, so the flash-collapsed
+            # whole-context bucket would both compile a far bigger
+            # program (the thing the fallback exists to avoid) and run
+            # dense attention over all of seq_len every step
+            return attn_bucket(self.cfg.replace(matmul_impl="xla"),
+                               needed, self.min_attn_bucket,
+                               self.prefill_chunk, self.cache_dtype)
         return attn_bucket(self.cfg, needed, self.min_attn_bucket,
                            self.prefill_chunk, self.cache_dtype)
 

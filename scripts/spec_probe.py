@@ -113,7 +113,12 @@ def main():
               f"({m.spec_accepted / max(1, m.spec_proposed):.0%})",
               flush=True)
 
-    # batched speculation: B greedy streams sharing one scheduler
+    # batched speculation: B greedy streams sharing one scheduler.
+    # Free the single-stream engine FIRST — on 9B its full-context cache
+    # plus the scheduler's batched cache OOMs the chip
+    del eng
+    import gc
+    gc.collect()
     from lmrs_tpu.serve.scheduler import BatchScheduler
 
     B = int(os.environ.get("LMRS_SPEC_BATCH", "4"))
